@@ -46,13 +46,15 @@ class SuiteTest:
         return BASE_IRIS[self.suite] + os.path.basename(self.action_path)
 
     def action_text(self) -> str:
-        with open(self.action_path, encoding="utf-8") as f:
+        # newline="" preserves raw \r / \r\n (several suite docs embed
+        # bare carriage returns inside literals)
+        with open(self.action_path, encoding="utf-8", newline="") as f:
             return f.read()
 
     def result_text(self) -> str | None:
         if not self.result_path:
             return None
-        with open(self.result_path, encoding="utf-8") as f:
+        with open(self.result_path, encoding="utf-8", newline="") as f:
             return f.read()
 
 
