@@ -1,0 +1,63 @@
+"""Canonicalization: triple-level dedupe + canonical output layout
+(SURVEY.md §2.4 R11; north_rule "sort-merge aggregate keyed on
+(canonical_subj, pred, canonical_obj)").
+
+Scale design:
+- ``groupBy`` over the full term key -> Spark does partial (map-side)
+  + final aggregation automatically; AQE coalesces/splits the shuffle;
+- per-triple provenance kept as scalable aggregates only: count,
+  min(url) exemplar, approx distinct sources — NEVER collect_set(url)
+  (a head triple like (X, rdf:type, schema:Thing) would accumulate
+  millions of urls in one reducer);
+- output sorted *within partitions* by (subj, pred, obj_lex) for
+  file-level clustering/min-max pruning; never a global sort
+  (SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TRIPLE_KEY = [
+    "subj_kind", "subj", "pred",
+    "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
+    "graph_kind", "graph",
+]
+
+
+def canonicalize(triples: DataFrame, url_col: str = "url") -> DataFrame:
+    """Dedupe identical (s,p,o,g) across all documents, keeping scalable
+    provenance aggregates. Literal comparison is lexical — no numeric
+    normalization in the key (reference semantics, SURVEY.md §1.2/§4.3.4)."""
+    return triples.groupBy(*TRIPLE_KEY).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.min(url_col).alias("first_url"),
+        F.approx_count_distinct(url_col).alias("approx_sources"),
+    )
+
+
+def cluster_for_write(canonical: DataFrame, buckets: int = 32) -> DataFrame:
+    """Layout for materialization: hash-repartition on subject (co-
+    locates each entity's triples -> downstream entity-local joins are
+    shuffle-free with the same bucketing), then sort within partitions
+    for parquet min-max pruning on (subj, pred)."""
+    return canonical.repartition(buckets, "subj").sortWithinPartitions(
+        "subj", "pred", "obj_lex"
+    )
+
+
+def exact_duplicate_docs(triples: DataFrame, url_col: str = "url") -> DataFrame:
+    """Document-level exact dedupe: documents whose *sorted triple set*
+    hashes identically. Two shuffles: (url -> doc hash), (hash -> urls).
+    The per-doc hash is an order-insensitive aggregate (sum of per-triple
+    hashes) so no per-document sort is needed."""
+    h = F.hash(*TRIPLE_KEY).cast("long")
+    doc = triples.groupBy(url_col).agg(
+        F.sum(h).alias("doc_hash"), F.count(F.lit(1)).alias("n_triples")
+    )
+    return (
+        doc.groupBy("doc_hash", "n_triples")
+        .agg(F.collect_list(url_col).alias("urls"), F.count(F.lit(1)).alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,136 @@
+"""Vectorized parse operators: pages -> triples DataFrame.
+
+The per-document parser family (rdf_spark.grammar) runs inside
+``mapInPandas`` — Arrow batches in, exploded triple batches out; only
+flat columns cross the UDF boundary (SURVEY.md §1.3, §3.1-3.3). No
+per-row Python UDFs anywhere (BASELINE.json input_hint).
+
+Scale design:
+- one Python parse call per document, batched via Arrow
+  (spark.sql.execution.arrow.maxRecordsPerBatch sizes the batch);
+- parse failures become rows with ``error`` set (bad documents at web
+  scale are data, not exceptions — SURVEY.md §2.3 E13);
+- the output is partition-preserving: no shuffle is introduced by
+  parsing itself.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ByteType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..terms import term_to_flat
+
+TRIPLES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("subj_kind", ByteType()),
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj_kind", ByteType()),
+        StructField("obj_lex", StringType()),
+        StructField("obj_datatype", StringType()),
+        StructField("obj_lang", StringType()),
+        StructField("graph_kind", ByteType()),
+        StructField("graph", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+_COLS = [f.name for f in TRIPLES_SCHEMA.fields]
+
+
+def parse_text(fmt: str, text: str, base: str):
+    """Parse one document -> list of quads (graph None for triple
+    syntaxes). Dispatch on media-type-ish format name."""
+    if fmt in ("ntriples", "application/n-triples"):
+        from ..grammar.ntriples import parse_document
+
+        return [(s, p, o, None) for s, p, o in parse_document(text)]
+    if fmt in ("nquads", "application/n-quads"):
+        from ..grammar.nquads import parse_document
+
+        return parse_document(text)
+    if fmt in ("turtle", "text/turtle"):
+        from ..grammar.turtle import parse_and_evaluate
+
+        return [(s, p, o, None) for s, p, o in parse_and_evaluate(text, base)]
+    if fmt in ("trig", "application/trig"):
+        from ..grammar.trig import parse_and_evaluate
+
+        return parse_and_evaluate(text)
+    if fmt in ("ntriples-star", "application/n-triples-star"):
+        from ..grammar.star import parse_document
+
+        return [(s, p, o, None) for s, p, o in parse_document(text)]
+    if fmt in ("nquads-star", "application/n-quads-star"):
+        from ..grammar.star import parse_document_nq
+
+        return parse_document_nq(text)
+    if fmt in ("jsonld", "application/ld+json"):
+        from ..sources.jsonld import parse_jsonld
+
+        return parse_jsonld(text)
+    raise ValueError(f"unknown RDF format {fmt!r}")
+
+
+def doc_to_rows(url: str, fmt: str, text: str, validate: bool = False):
+    """One document -> list of flat triple rows (+1 error row on failure)."""
+    try:
+        quads = parse_text(fmt, text, base=url or "")
+    except Exception as e:  # noqa: BLE001 — error class recorded in the row
+        return [(url, None, None, None, None, None, None, None, None, None,
+                 f"{type(e).__name__}: {e}")]
+    rows = []
+    for s, p, o, g in quads:
+        sk, sv, _, _ = term_to_flat(s)
+        ok_, ol, od, olang = term_to_flat(o)
+        pv = p[1]
+        if g is None:
+            gk, gv = None, None
+        else:
+            gk, gv, _, _ = term_to_flat(g)
+        rows.append((url, sk, sv, pv, ok_, ol, od, olang, gk, gv, None))
+    return rows
+
+
+def parse_pages(pages: DataFrame, default_format: str = "turtle") -> DataFrame:
+    """pages(url, text[, format]) -> triples DataFrame.
+
+    Runs the grammar kernels via mapInPandas (Arrow-batched). The page
+    ``url`` seeds the base IRI for relative-IRI resolution (mirrors the
+    ``cwd`` argument of the reference's EvaluateDocument,
+    /root/reference/turtle/doc.go:13-15).
+    """
+    has_fmt = "format" in pages.columns
+    cols = ["url", "text"] + (["format"] if has_fmt else [])
+    src = pages.select(*cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[tuple] = []
+            fmts = pdf["format"] if has_fmt else None
+            for i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
+                fmt = fmts.iloc[i] if fmts is not None else default_format
+                out.extend(doc_to_rows(url, fmt, text))
+            yield pd.DataFrame(out, columns=_COLS)
+
+    return src.mapInPandas(run, schema=TRIPLES_SCHEMA)
+
+
+def failed_docs(triples: DataFrame) -> DataFrame:
+    """Parse-error side-channel: (url, error) rows."""
+    return triples.where(triples.error.isNotNull()).select("url", "error")
+
+
+def good_triples(triples: DataFrame) -> DataFrame:
+    return triples.where(triples.error.isNull()).drop("error")

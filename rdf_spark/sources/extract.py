@@ -1,0 +1,82 @@
+"""Extraction front-end: web pages -> embedded RDF blocks.
+
+Per BASELINE.json input_hint the pipeline input is an Iceberg-style
+table ``pages(url, warc_ts, html binary, text, lang)``. This module
+pulls embedded RDF out of ``html`` deterministically — the per-row
+invariant is *byte-identical extracted text per url* across runs, so
+extraction is pure string slicing on the decoded bytes (no DOM, no
+normalization, no lowercasing of payloads).
+
+Supported embeddings (media types per the reference registry,
+/root/reference/ntriples/mediatype.go:3 and nquads/mediatype.go:3-8):
+``<script type="text/turtle">``, ``application/n-triples``,
+``application/n-quads``, ``application/trig``, ``application/ld+json``,
+plus the RDF-star variants.
+
+Runs as mapInPandas: one Arrow batch of pages in, one batch of
+(url, block_index, format, text) out; partition-preserving (no shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import IntegerType, StringType, StructField, StructType
+
+MEDIA_TYPE_FORMATS = {
+    "text/turtle": "turtle",
+    "application/n-triples": "ntriples",
+    "application/n-quads": "nquads",
+    "application/trig": "trig",
+    "application/ld+json": "jsonld",
+    "application/n-triples-star": "ntriples-star",
+    "application/n-quads-star": "nquads-star",
+}
+
+# <script type="..."> ... </script>; the type attribute match is
+# case-insensitive per HTML, the PAYLOAD is sliced verbatim.
+_SCRIPT_RE = re.compile(
+    r"<script\s[^>]*type\s*=\s*[\"']([^\"']+)[\"'][^>]*>(.*?)</script>",
+    re.IGNORECASE | re.DOTALL,
+)
+
+BLOCKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("block_index", IntegerType()),
+        StructField("format", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def extract_blocks_from_html(html: bytes | str):
+    """One page's html -> [(block_index, format, payload_text)].
+    Pure function of the bytes; payload returned verbatim."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    out = []
+    for i, m in enumerate(_SCRIPT_RE.finditer(html)):
+        fmt = MEDIA_TYPE_FORMATS.get(m.group(1).strip().lower())
+        if fmt is not None:
+            out.append((i, fmt, m.group(2)))
+    return out
+
+
+def extract_pages(pages: DataFrame) -> DataFrame:
+    """pages(url, html, ...) -> blocks(url, block_index, format, text)."""
+    src = pages.select("url", "html")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for idx, fmt, text in extract_blocks_from_html(html):
+                    rows.append((url, idx, fmt, text))
+            yield pd.DataFrame(rows, columns=["url", "block_index", "format", "text"])
+
+    return src.mapInPandas(run, schema=BLOCKS_SCHEMA)

@@ -1,0 +1,65 @@
+"""End-to-end pipeline tests: extraction -> triples, checkpoint-resume
+(kill between partitions, re-run, byte-equal output), idempotence,
+lineage (SURVEY.md §5.2)."""
+
+import pytest
+
+from rdf_spark.plans.pipeline import PipelineRun, build_triples
+from rdf_spark.sources.pages import entity_dictionary, generate_pages
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, 60, seed=42, partitions=4).cache()
+
+
+def _normalized(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_end_to_end_html_extraction(spark, pages):
+    out = build_triples(pages, from_html=True)
+    rows = out.collect()
+    assert len(rows) > 100
+    assert all(r.support >= 1 for r in rows)
+
+
+def test_resume_skips_completed_and_output_identical(spark, pages, tmp_path):
+    d = entity_dictionary(spark, 50)
+    full = PipelineRun(spark, str(tmp_path / "full"), n_buckets=4, run_id="full")
+    full.run(pages, d)
+    assert sorted(full.completed_buckets()) == [0, 1, 2, 3]
+
+    crash = PipelineRun(spark, str(tmp_path / "crash"), n_buckets=4, run_id="r1")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        crash.run(pages, d, fail_after_bucket=1)
+    done_after_crash = crash.completed_buckets()
+    assert done_after_crash == {0, 1}
+
+    resumed = PipelineRun(spark, str(tmp_path / "crash"), n_buckets=4, run_id="r2")
+    stats = resumed.run(pages, d)
+    assert stats["skipped"] == [0, 1]        # watermark hit-rate 100%
+    assert stats["processed"] == [2, 3]
+
+    # byte-equal final output vs the uninterrupted run
+    assert _normalized(resumed.read_output()) == _normalized(full.read_output())
+
+
+def test_rerun_is_idempotent_noop(spark, pages, tmp_path):
+    p = PipelineRun(spark, str(tmp_path / "o"), n_buckets=2, run_id="a")
+    p.run(pages)
+    first = _normalized(p.read_output())
+    stats = p.run(pages)  # everything watermarked -> no work
+    assert stats["processed"] == [] and stats["skipped"] == [0, 1]
+    assert _normalized(p.read_output()) == first
+
+
+def test_lineage_recorded(spark, tmp_path):
+    noisy = generate_pages(spark, 40, seed=7, partitions=4, bad_fraction=0.3)
+    p = PipelineRun(spark, str(tmp_path / "l"), n_buckets=2, run_id="a")
+    p.run(noisy)
+    lineage = p.lineage()
+    assert len(lineage) == 2
+    assert sum(x["docs_in"] for x in lineage) == 40
+    assert all(x["triples_out"] > 0 for x in lineage)
+    assert sum(x["docs_failed"] for x in lineage) >= 1  # malformed fixtures
