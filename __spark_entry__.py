@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship KG-construction run on sf0.001: Turtle docs
+are synthesized in SQL from the nation/region tables, parsed by the
+rdf_spark grammar engine (Arrow-vectorized), skolemized, entity-linked
+and canonicalized; returns the canonical triple table.
+
+`queries()` / `oracle_sql()` — one entry per operator family from
+SURVEY.md §2 plus the training-data operators (dedup, ANN, text
+analysis, multimodal). Spark results and DuckDB oracles share exact
+column names and value semantics (hashes via md5/sha256, floats
+rounded before comparison/ranking).
 """
 
 from __future__ import annotations
@@ -12,27 +17,648 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EX = "http://ex/"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _read(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- corpus builders (SQL-side text synthesis; deterministic) -------------
+
+def _nation_turtle(spark, sf_dir) -> DataFrame:
+    """One Turtle doc per nation, synthesized with SQL string exprs."""
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex/> .\n"),
+        F.lit("ex:n"), F.col("n_nationkey").cast("string"), F.lit(" a ex:Nation ;\n"),
+        F.lit('  ex:name "'), F.col("n_name"), F.lit('" ;\n'),
+        F.lit("  ex:inRegion ex:r"), F.col("n_regionkey").cast("string"), F.lit(" .\n"),
+    )
+    url = F.concat(F.lit("http://crawl.example/nation/"), F.col("n_nationkey").cast("string"))
+    return n.select(url.alias("url"), F.lit("turtle").alias("format"), text.alias("text"))
+
+
+def _parsed_nation_triples(spark, sf_dir) -> DataFrame:
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    return good_triples(parse_pages(_nation_turtle(spark, sf_dir)))
+
+
+_NATION_TRIPLES_ORACLE = f"""
+    SELECT 'http://ex/n' || n_nationkey AS subj,
+           '{RDF_TYPE}' AS pred,
+           'http://ex/Nation' AS obj_lex
+    FROM nation
+    UNION ALL
+    SELECT 'http://ex/n' || n_nationkey, 'http://ex/name', n_name FROM nation
+    UNION ALL
+    SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+           'http://ex/r' || n_regionkey FROM nation
+"""
+
+
+# --- queries ---------------------------------------------------------------
+
+def q_rdf_parse_ntriples(spark, sf_dir):
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("<http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit('> <http://ex/name> "'), F.col("n_name"), F.lit('" .\n'),
+        F.lit("<http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit("> <http://ex/inRegion> <http://ex/r"),
+        F.col("n_regionkey").cast("string"), F.lit("> .\n"),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/nt/"), F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("ntriples").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex")
+
+
+def q_rdf_parse_turtle(spark, sf_dir):
+    return _parsed_nation_triples(spark, sf_dir).select("subj", "pred", "obj_lex")
+
+
+def q_rdf_parse_nquads(spark, sf_dir):
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("<http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit('> <http://ex/name> "'), F.col("n_name"),
+        F.lit('" <http://ex/region/'), F.col("n_regionkey").cast("string"),
+        F.lit("> .\n"),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/nq/"), F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("nquads").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex", "graph")
+
+
+def q_rdf_parse_jsonld(spark, sf_dir):
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit('{"@id": "http://ex/n'), F.col("n_nationkey").cast("string"),
+        F.lit('", "@type": "http://ex/Nation", "http://ex/name": "'),
+        F.col("n_name"), F.lit('"}'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/jl/"), F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("jsonld").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex")
+
+
+def q_rdf_parse_star(spark, sf_dir):
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("<< <http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit('> <http://ex/name> "'), F.col("n_name"),
+        F.lit('" >> <http://ex/saidBy> <http://ex/crawler> .\n'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/star/"), F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("ntriples-star").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select(F.col("subj_kind").cast("int").alias("subj_kind"), "subj", "pred", "obj_lex")
+
+
+def q_rdf_triple_pattern(spark, sf_dir):
+    from rdf_spark.operators.graphops import find_all
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return find_all(t, pred=EX + "name").select("subj", "obj_lex")
+
+
+def q_rdf_group_by_graph(spark, sf_dir):
+    from rdf_spark.operators.graphops import graphs
+
+    q = q_rdf_parse_nquads(spark, sf_dir)
+    return graphs(q).select("graph", "n_triples", "n_subjects")
+
+
+def q_rdf_skolemize(spark, sf_dir):
+    from rdf_spark.operators.skolemize import skolemize
+
+    c = _read(spark, sf_dir, "customer")
+    triples = c.select(
+        F.concat(F.lit("http://crawl.example/c/"), (F.col("c_custkey") % 10).cast("string")).alias("url"),
+        F.lit(1).cast("tinyint").alias("subj_kind"),
+        F.concat(F.lit("b"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit(EX + "name").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.col("c_name").alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+        F.lit(None).cast("string").alias("graph"),
+        F.col("c_custkey").alias("custkey"),
+    )
+    return skolemize(triples).select("custkey", F.col("subj").alias("skolem"))
+
+
+def q_rdf_serialize(spark, sf_dir):
+    from rdf_spark.functions.serialize import serialize_ntriples
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return serialize_ntriples(t).select(F.col("value").alias("line"))
+
+
+def q_rdf_dedupe(spark, sf_dir):
+    from rdf_spark.operators.canonical import canonicalize
+
+    li = _read(spark, sf_dir, "lineitem")
+    triples = li.select(
+        F.concat(F.lit("http://crawl.example/order/"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.lit(0).cast("tinyint").alias("subj_kind"),
+        F.concat(F.lit(EX + "part/"), F.col("l_partkey").cast("string")).alias("subj"),
+        F.lit(EX + "shippedWith").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit(EX + "supp/"), F.col("l_suppkey").cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    out = canonicalize(triples)
+    return out.select("subj", "obj_lex", F.col("support").cast("long").alias("support"),
+                      "first_url")
+
+
+def q_rdf_entity_link(spark, sf_dir):
+    from rdf_spark.operators.link import link_entities
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    triples = c.select(
+        F.lit("http://crawl.example/cust").alias("url"),
+        F.lit(0).cast("tinyint").alias("subj_kind"),
+        F.concat(F.lit(EX + "cust/"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit(EX + "inNation").alias("pred"),
+        F.lit(0).cast("tinyint").alias("obj_kind"),
+        F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")).alias("obj_lex"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("tinyint").alias("graph_kind"),
+        F.lit(None).cast("string").alias("graph"),
+    )
+    dictionary = n.select(
+        F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("surface"),
+        F.concat(F.lit("http://kg.example/"), F.col("n_name")).alias("canonical_iri"),
+    )
+    return link_entities(triples, dictionary).select("subj", F.col("obj_lex").alias("linked_obj"))
+
+
+def q_rdf_predicate_histogram(spark, sf_dir):
+    t = _parsed_nation_triples(spark, sf_dir)
+    return t.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).select("pred", "n")
+
+
+def q_doc_token_stats(spark, sf_dir):
+    from rdf_spark.functions.text import avg_token_len, char_count, token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+        char_count(F.col("text")).cast("long").alias("n_chars_"),
+        avg_token_len(F.col("text")).alias("avg_tok_len"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    from rdf_spark.functions.text import punct_ratio, quality_score, stopword_hits
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        punct_ratio(F.col("text")).alias("punct_ratio"),
+        stopword_hits(F.col("text")).cast("long").alias("stop_hits"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    from rdf_spark.functions.text import lang_id
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from rdf_spark.functions.text import fingerprint
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+def q_doc_exact_dedup(spark, sf_dir):
+    from rdf_spark.operators.dedup import exact_dedup_groups
+
+    d = _read(spark, sf_dir, "documents")
+    g = exact_dedup_groups(d)
+    return g.select(
+        "content_hash",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.array_join(F.transform(F.col("doc_ids"), lambda x: x.cast("string")), ",").alias("doc_ids"),
+    )
+
+
+def q_doc_minhash(spark, sf_dir):
+    from rdf_spark.operators.dedup import minhash_signatures, shingles
+
+    d = _read(spark, sf_dir, "documents")
+    return minhash_signatures(shingles(d, n=3), num_hashes=4).select(
+        "doc_id", "mh_0", "mh_1", "mh_2", "mh_3"
+    )
+
+
+def q_doc_minhash_lsh_pairs(spark, sf_dir):
+    from rdf_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(d, n=3), num_hashes=4)
+    return lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+
+
+def q_doc_ngram_jaccard(spark, sf_dir):
+    from rdf_spark.operators.dedup import jaccard_pairs, shingles
+
+    d = _read(spark, sf_dir, "documents")
+    return jaccard_pairs(shingles(d, n=3), threshold=0.5)
+
+
+def q_emb_topk_cosine(spark, sf_dir):
+    from rdf_spark.operators.ann import brute_force_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=3).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_emb_ivf_topk(spark, sf_dir):
+    from rdf_spark.operators.ann import ivf_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=3).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_evt_hourly(spark, sf_dir):
+    e = _read(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_tpch_q1_like(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").cast("double").alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_mm_features(spark, sf_dir):
+    from rdf_spark.operators.multimodal import extract_features
+
+    d = _read(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+    return extract_features(media).select(
+        "media_id", "byte_len", "content_sha", "feature"
+    )
+
+
+# rows-only (no SQL oracle): simhash majority voting + hamming bands
+def q_doc_simhash_pairs(spark, sf_dir):
+    from rdf_spark.operators.dedup import simhash, simhash_near_dups
+
+    d = _read(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash(d), max_hamming=8)
+
+
+def q_emb_lsh_topk(spark, sf_dir):
+    from rdf_spark.operators.ann import lsh_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=3, planes=4)
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """Full KG construction over synthesized pages: parse -> skolemize
+    -> link -> canonical dedupe (rows-only check: the per-stage oracles
+    above cover each component exactly)."""
+    from rdf_spark.operators.canonical import canonicalize
+    from rdf_spark.operators.link import link_entities
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.operators.skolemize import skolemize
+
+    pages = _nation_turtle(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    dictionary = n.select(
+        F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("surface"),
+        F.concat(F.lit("http://kg.example/region/"), F.col("n_regionkey").cast("string")).alias("canonical_iri"),
+    )
+    t = skolemize(good_triples(parse_pages(pages)))
+    t = link_entities(t, dictionary)
+    return canonicalize(t)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_kg_pipeline(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "rdf_parse_ntriples": q_rdf_parse_ntriples,
+        "rdf_parse_turtle": q_rdf_parse_turtle,
+        "rdf_parse_nquads": q_rdf_parse_nquads,
+        "rdf_parse_jsonld": q_rdf_parse_jsonld,
+        "rdf_parse_star": q_rdf_parse_star,
+        "rdf_triple_pattern": q_rdf_triple_pattern,
+        "rdf_group_by_graph": q_rdf_group_by_graph,
+        "rdf_skolemize": q_rdf_skolemize,
+        "rdf_serialize": q_rdf_serialize,
+        "rdf_dedupe": q_rdf_dedupe,
+        "rdf_entity_link": q_rdf_entity_link,
+        "rdf_predicate_histogram": q_rdf_predicate_histogram,
+        "doc_token_stats": q_doc_token_stats,
+        "doc_quality": q_doc_quality,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "doc_minhash": q_doc_minhash,
+        "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "emb_topk_cosine": q_emb_topk_cosine,
+        "emb_ivf_topk": q_emb_ivf_topk,
+        "evt_hourly": q_evt_hourly,
+        "tpch_q1_like": q_tpch_q1_like,
+        "mm_features": q_mm_features,
+        # rows-only checks (non-SQL-expressible):
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "kg_pipeline": q_kg_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_SHINGLES_CTE = """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(t[i:i+2], ' ') AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS r(i)
+        WHERE len(t) >= 3
+    )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rdf_parse_ntriples": """
+            SELECT 'http://ex/n' || n_nationkey AS subj, 'http://ex/name' AS pred,
+                   n_name AS obj_lex FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                   'http://ex/r' || n_regionkey FROM nation
+        """,
+        "rdf_parse_turtle": _NATION_TRIPLES_ORACLE,
+        "rdf_parse_nquads": """
+            SELECT 'http://ex/n' || n_nationkey AS subj, 'http://ex/name' AS pred,
+                   n_name AS obj_lex, 'http://ex/region/' || n_regionkey AS graph
+            FROM nation
+        """,
+        "rdf_parse_jsonld": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj, '{RDF_TYPE}' AS pred,
+                   'http://ex/Nation' AS obj_lex FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/name', n_name FROM nation
+        """,
+        "rdf_parse_star": """
+            SELECT 3 AS subj_kind,
+                   '<< <http://ex/n' || n_nationkey || '> <http://ex/name> "' ||
+                   n_name || '" >>' AS subj,
+                   'http://ex/saidBy' AS pred, 'http://ex/crawler' AS obj_lex
+            FROM nation
+        """,
+        "rdf_triple_pattern": """
+            SELECT 'http://ex/n' || n_nationkey AS subj, n_name AS obj_lex FROM nation
+        """,
+        "rdf_group_by_graph": """
+            SELECT 'http://ex/region/' || n_regionkey AS graph,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_subjects
+            FROM nation GROUP BY 1
+        """,
+        "rdf_skolemize": """
+            SELECT c_custkey AS custkey,
+                   'sk' || sha256('http://crawl.example/c/' || (c_custkey % 10)
+                                  || '|' || 'b' || c_custkey) AS skolem
+            FROM customer
+        """,
+        "rdf_serialize": f"""
+            SELECT '<http://ex/n' || n_nationkey || '> <{RDF_TYPE}> <http://ex/Nation> .' AS line
+            FROM nation
+            UNION ALL
+            SELECT '<http://ex/n' || n_nationkey || '> <http://ex/name> "' || n_name || '" .'
+            FROM nation
+            UNION ALL
+            SELECT '<http://ex/n' || n_nationkey || '> <http://ex/inRegion> <http://ex/r'
+                   || n_regionkey || '> .'
+            FROM nation
+        """,
+        "rdf_dedupe": """
+            SELECT 'http://ex/part/' || l_partkey AS subj,
+                   'http://ex/supp/' || l_suppkey AS obj_lex,
+                   CAST(count(*) AS BIGINT) AS support,
+                   min('http://crawl.example/order/' || l_orderkey) AS first_url
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "rdf_entity_link": """
+            SELECT 'http://ex/cust/' || c_custkey AS subj,
+                   'http://kg.example/' || n_name AS linked_obj
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "rdf_predicate_histogram": f"""
+            SELECT pred, CAST(count(*) AS BIGINT) AS n FROM (
+                {_NATION_TRIPLES_ORACLE}
+            ) GROUP BY pred
+        """,
+        "doc_token_stats": """
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_,
+                   round(CASE WHEN len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) > 0
+                         THEN list_sum(list_transform(
+                                list_filter(string_split_regex(text, '\\s+'), x -> x != ''),
+                                x -> length(x))) * 1.0
+                              / len(list_filter(string_split_regex(text, '\\s+'), x -> x != ''))
+                         ELSE 0.0 END, 4) AS avg_tok_len
+            FROM documents
+        """,
+        "doc_quality": r"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       length(regexp_replace(text, '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS np,
+                       length(text) AS nc,
+                       len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS nt,
+                       len(regexp_extract_all(lower(text),
+                           '\b(the|and|of|to|is|in|that|it|was|for)\b', 1)) AS sh
+                FROM documents
+            )
+            SELECT doc_id,
+                   round(CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END, 4) AS punct_ratio,
+                   CAST(sh AS BIGINT) AS stop_hits,
+                   round(least(nt / 100.0, 1.0) *
+                         (1.0 - least(round(CASE WHEN nc > 0 THEN np * 1.0 / nc ELSE 0.0 END, 4) * 5.0, 1.0)), 4) AS quality
+            FROM base
+        """,
+        "doc_lang_id": r"""
+            SELECT doc_id,
+                   CASE WHEN len(regexp_extract_all(lower(text),
+                            '\b(the|and|of|to|is|in|that|it|was|for)\b', 1)) * 1.0
+                        / greatest(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')), 1)
+                        >= 0.05
+                   THEN 'en' ELSE 'unk' END AS lang_pred
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        """,
+        "doc_exact_dedup": """
+            SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
+                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "doc_minhash": _SHINGLES_CTE + """
+            SELECT doc_id,
+                   min(md5('s0|' || shingle)) AS mh_0,
+                   min(md5('s1|' || shingle)) AS mh_1,
+                   min(md5('s2|' || shingle)) AS mh_2,
+                   min(md5('s3|' || shingle)) AS mh_3
+            FROM sh GROUP BY doc_id
+        """,
+        "doc_minhash_lsh_pairs": _SHINGLES_CTE + """
+            , sigs AS (
+                SELECT doc_id,
+                       min(md5('s0|' || shingle)) AS mh_0,
+                       min(md5('s1|' || shingle)) AS mh_1,
+                       min(md5('s2|' || shingle)) AS mh_2,
+                       min(md5('s3|' || shingle)) AS mh_3
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+                UNION ALL
+                SELECT doc_id, 2 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sigs
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "doc_ngram_jaccard": _SHINGLES_CTE + """
+            , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+        """,
+        "emb_topk_cosine": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos
+                FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+                WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "emb_ivf_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos
+                FROM embeddings q JOIN embeddings c
+                  ON q.label = c.label AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "evt_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
+        """,
+        "tpch_q1_like": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "mm_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                   sha256(text) AS content_sha,
+                   'text-feat-' || substr(sha256(text), 1, 16) AS feature
+            FROM documents
+        """,
+    }

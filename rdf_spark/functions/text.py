@@ -1,0 +1,78 @@
+"""Text-analysis functions for training-data pipelines: token counting,
+quality scoring, language ID, fingerprinting.
+
+All implemented as pure Spark SQL Column expressions (JVM-side,
+whole-stage codegen — no Python in the hot path). Each has an exact
+ANSI-SQL oracle (see __spark_entry__.oracle_sql), which also documents
+the semantics precisely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization with empty-token filtering."""
+    return F.filter(F.split(text, r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def avg_token_len(text: Column) -> Column:
+    """Average token length, 4dp (0.0 for empty docs)."""
+    t = tokens(text)
+    total = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    return F.round(
+        F.when(F.size(t) > 0, total.cast("double") / F.size(t)).otherwise(F.lit(0.0)), 4
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of punctuation characters, 4dp."""
+    np = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.round(
+        F.when(F.length(text) > 0, np.cast("double") / F.length(text)).otherwise(0.0), 4
+    )
+
+
+_EN_STOP = r"\b(the|and|of|to|is|in|that|it|was|for)\b"
+
+
+def stopword_hits(text: Column) -> Column:
+    """Count of English stopword occurrences (quality / lang-ID signal)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(_EN_STOP), 1))
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: English if the stopword density clears a
+    threshold, else 'unk'. (A real model slots in behind the same
+    column contract; the engine-level contract is deterministic
+    vectorized classification.)"""
+    density = stopword_hits(text).cast("double") / F.greatest(
+        token_count(text), F.lit(1)
+    ).cast("double")
+    return F.when(density >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1], 4dp: rewards mid-length docs
+    and plain prose, penalizes punctuation soup."""
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    return F.round(len_score * (F.lit(1.0) - punct_pen), 4)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-collapsed text (near-dup-resistant to spacing/case)."""
+    normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(normalized)

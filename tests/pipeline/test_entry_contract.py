@@ -1,0 +1,70 @@
+"""Local mirror of the driver's correctness gate: run every
+__spark_entry__.queries() entry at sf0.001 and compare row sets against
+oracle_sql() via DuckDB (order-insensitive, floats rounded)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+
+def _norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 4)
+    if isinstance(v, int):
+        return int(v)
+    return str(v) if v is not None else None
+
+
+def _normalize_rows(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    assert df.count() >= 0 and len(df.schema.fields) > 0
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_rows = [tuple(r) for r in df.collect()]
+    if name not in ORACLES:
+        assert len(spark_rows) >= 0  # rows-only contract
+        return
+    res = duck.execute(ORACLES[name])
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"column mismatch: {spark_cols} vs {duck_cols}"
+    )
+    a = _normalize_rows(spark_rows, spark_cols)
+    b = _normalize_rows(duck_rows, duck_cols)
+    only_spark = [r for r in a if r not in set(b)][:5]
+    only_duck = [r for r in b if r not in set(a)][:5]
+    assert a == b, f"value mismatch; spark-only={only_spark} duck-only={only_duck}"
