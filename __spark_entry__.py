@@ -24,6 +24,9 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
 def _read(spark, sf_dir, name):
+    from rdf_spark.submit import ship_package
+
+    ship_package(spark)  # idempotent; executors import rdf_spark from any cwd
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -140,6 +143,54 @@ def q_rdf_parse_star(spark, sf_dir):
     )
     t = good_triples(parse_pages(pages))
     return t.select(F.col("subj_kind").cast("int").alias("subj_kind"), "subj", "pred", "obj_lex")
+
+
+def q_rdf_parse_microdata(spark, sf_dir):
+    """HTML pages with Microdata markup -> triples via the full
+    extraction front-end (extract_pages + parse_pages)."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.sources.extract import extract_pages
+
+    n = _read(spark, sf_dir, "nation")
+    html = F.concat(
+        F.lit('<html><body><div itemscope itemtype="http://schema.org/Country"'
+              ' itemid="http://ex/n'), F.col("n_nationkey").cast("string"),
+        F.lit('"><span itemprop="name">'), F.col("n_name"),
+        F.lit('</span><a itemprop="containedInPlace" href="http://ex/r'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('">region</a></div></body></html>'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/md/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    t = good_triples(parse_pages(extract_pages(pages)))
+    return t.select("subj", "pred", "obj_lex")
+
+
+def q_rdf_parse_rdfa(spark, sf_dir):
+    """HTML pages with RDFa-lite markup -> triples via the full
+    extraction front-end."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.sources.extract import extract_pages
+
+    n = _read(spark, sf_dir, "nation")
+    html = F.concat(
+        F.lit('<html><body><div vocab="http://schema.org/" about="http://ex/n'),
+        F.col("n_nationkey").cast("string"),
+        F.lit('" typeof="Country"><span property="name">'), F.col("n_name"),
+        F.lit('</span><a property="containedInPlace" href="http://ex/r'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('">region</a></div></body></html>'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/ra/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    t = good_triples(parse_pages(extract_pages(pages)))
+    return t.select("subj", "pred", "obj_lex")
 
 
 def q_rdf_triple_pattern(spark, sf_dir):
@@ -412,6 +463,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
         "rdf_parse_star": q_rdf_parse_star,
+        "rdf_parse_microdata": q_rdf_parse_microdata,
+        "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_group_by_graph": q_rdf_group_by_graph,
         "rdf_skolemize": q_rdf_skolemize,
@@ -481,6 +534,26 @@ def oracle_sql() -> dict[str, str]:
                    n_name || '" >>' AS subj,
                    'http://ex/saidBy' AS pred, 'http://ex/crawler' AS obj_lex
             FROM nation
+        """,
+        "rdf_parse_microdata": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj, '{RDF_TYPE}' AS pred,
+                   'http://schema.org/Country' AS obj_lex FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://schema.org/name', n_name
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://schema.org/containedInPlace',
+                   'http://ex/r' || n_regionkey FROM nation
+        """,
+        "rdf_parse_rdfa": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj, '{RDF_TYPE}' AS pred,
+                   'http://schema.org/Country' AS obj_lex FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://schema.org/name', n_name
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://schema.org/containedInPlace',
+                   'http://ex/r' || n_regionkey FROM nation
         """,
         "rdf_triple_pattern": """
             SELECT 'http://ex/n' || n_nationkey AS subj, n_name AS obj_lex FROM nation

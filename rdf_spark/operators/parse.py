@@ -80,6 +80,14 @@ def parse_text(fmt: str, text: str, base: str):
         from ..sources.jsonld import parse_jsonld
 
         return parse_jsonld(text)
+    if fmt == "rdfa":
+        from ..sources.html_rdf import parse_rdfa
+
+        return parse_rdfa(text, base)
+    if fmt == "microdata":
+        from ..sources.html_rdf import parse_microdata
+
+        return parse_microdata(text, base)
     raise ValueError(f"unknown RDF format {fmt!r}")
 
 

@@ -70,6 +70,9 @@ class PipelineRun:
 
     def __init__(self, spark: SparkSession, out_dir: str, n_buckets: int = 8,
                  run_id: str = "run"):
+        from ..submit import ship_package
+
+        ship_package(spark)  # executors import rdf_spark from any cwd
         self.spark = spark
         self.out_dir = out_dir
         self.n_buckets = n_buckets

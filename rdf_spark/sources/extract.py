@@ -54,16 +54,33 @@ BLOCKS_SCHEMA = StructType(
 )
 
 
+# Attribute-level markup detection (cheap substring probes; the exact
+# semantics live in sources/html_rdf.py). A page with itemscope markup
+# yields one "microdata" block whose payload is the full html; same for
+# RDFa-lite attributes.
+_MICRODATA_PROBE = re.compile(r"\bitemscope\b", re.IGNORECASE)
+_RDFA_PROBE = re.compile(r"\b(?:typeof|vocab|property)\s*=", re.IGNORECASE)
+
+
 def extract_blocks_from_html(html: bytes | str):
     """One page's html -> [(block_index, format, payload_text)].
-    Pure function of the bytes; payload returned verbatim."""
+    Pure function of the bytes; script payloads returned verbatim;
+    attribute-level markup (RDFa/Microdata) yields whole-page blocks."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", errors="replace")
     out = []
-    for i, m in enumerate(_SCRIPT_RE.finditer(html)):
+    i = 0
+    for m in _SCRIPT_RE.finditer(html):
         fmt = MEDIA_TYPE_FORMATS.get(m.group(1).strip().lower())
         if fmt is not None:
             out.append((i, fmt, m.group(2)))
+            i += 1
+    if _MICRODATA_PROBE.search(html):
+        out.append((i, "microdata", html))
+        i += 1
+    if _RDFA_PROBE.search(html):
+        out.append((i, "rdfa", html))
+        i += 1
     return out
 
 

@@ -1,0 +1,167 @@
+"""RDFa-lite / Microdata extraction (rdf_spark.sources.html_rdf).
+
+The reference has no HTML layer; these lock in the documented subset
+semantics and the determinism invariant (pure function of the bytes).
+"""
+
+from rdf_spark.sources.extract import extract_blocks_from_html
+from rdf_spark.sources.html_rdf import parse_microdata, parse_rdfa
+from rdf_spark.terms import RDF_TYPE
+
+BASE = "http://crawl.example/page"
+
+
+def test_microdata_basic_item():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person" itemid="http://ex/a">'
+        '<span itemprop="name">Alice</span></div>'
+    )
+    got = parse_microdata(html, base=BASE)
+    assert (("i", "http://ex/a"), ("i", RDF_TYPE), ("i", "http://schema.org/Person"), None) in got
+    assert (("i", "http://ex/a"), ("i", "http://schema.org/name"), ("l", "Alice", None, None), None) in got
+
+
+def test_microdata_bnode_and_nesting():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person">'
+        '<div itemprop="address" itemscope itemtype="http://schema.org/PostalAddress">'
+        '<span itemprop="addressLocality">Springfield</span></div></div>'
+    )
+    got = parse_microdata(html, base=BASE)
+    subj = [q[0] for q in got if q[2] == ("i", "http://schema.org/Person")][0]
+    nested = [q[2] for q in got if q[1] == ("i", "http://schema.org/address")][0]
+    assert subj[0] == "b" and nested[0] == "b" and subj != nested
+    assert (nested, ("i", "http://schema.org/addressLocality"),
+            ("l", "Springfield", None, None), None) in got
+
+
+def test_microdata_url_values_resolved_against_base():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person">'
+        '<img itemprop="image" src="/pic.jpg">'
+        '<a itemprop="url" href="about">x</a></div>'
+    )
+    got = parse_microdata(html, base="http://ex.org/people/alice")
+    objs = {q[1][1]: q[2] for q in got if q[1][1] != RDF_TYPE}
+    assert objs["http://schema.org/image"] == ("i", "http://ex.org/pic.jpg")
+    assert objs["http://schema.org/url"] == ("i", "http://ex.org/people/about")
+
+
+def test_microdata_meta_time_data_values():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Event">'
+        '<meta itemprop="height" content="170">'
+        '<time itemprop="startDate" datetime="2026-01-01">jan</time>'
+        '<data itemprop="rank" value="3">third</data></div>'
+    )
+    got = parse_microdata(html, base=BASE)
+    objs = {q[1][1].rsplit("/", 1)[1]: q[2] for q in got if q[1][1] != RDF_TYPE}
+    assert objs["height"] == ("l", "170", None, None)
+    assert objs["startDate"] == ("l", "2026-01-01", None, None)
+    assert objs["rank"] == ("l", "3", None, None)
+
+
+def test_microdata_absolute_itemprop_kept():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Thing">'
+        '<span itemprop="http://purl.org/dc/terms/title">T</span></div>'
+    )
+    got = parse_microdata(html, base=BASE)
+    assert any(q[1] == ("i", "http://purl.org/dc/terms/title") for q in got)
+
+
+def test_microdata_deterministic():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person">'
+        '<div itemprop="knows" itemscope><span itemprop="name">B</span></div></div>'
+    )
+    assert parse_microdata(html, base=BASE) == parse_microdata(html, base=BASE)
+
+
+def test_rdfa_vocab_about_typeof_property():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/b" typeof="Person">'
+        '<span property="name">Bob</span></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    assert (("i", "http://ex/b"), ("i", RDF_TYPE), ("i", "http://schema.org/Person"), None) in got
+    assert (("i", "http://ex/b"), ("i", "http://schema.org/name"),
+            ("l", "Bob", None, None), None) in got
+
+
+def test_rdfa_curie_prefix_and_initial_context():
+    html = (
+        '<div prefix="po: http://purl.org/ontology/po/" about="http://ex/x">'
+        '<span property="po:track">t1</span>'
+        '<meta property="og:title" content="X"></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    preds = {q[1][1] for q in got}
+    assert "http://purl.org/ontology/po/track" in preds
+    assert "http://ogp.me/ns#title" in preds  # initial-context prefix
+
+
+def test_rdfa_content_attr_and_lang():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/x" lang="fr">'
+        '<span property="name">René</span>'
+        '<span property="email" content="r@x.fr"></span></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    objs = {q[1][1].rsplit("/", 1)[1]: q[2] for q in got}
+    assert objs["name"] == ("l", "René", None, "fr")
+    assert objs["email"] == ("l", "r@x.fr", None, "fr")
+
+
+def test_rdfa_href_resource_objects():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/x">'
+        '<a property="url" href="/home">h</a>'
+        '<link property="sameAs" resource="http://other.example/x"></div>'
+    )
+    got = parse_rdfa(html, base="http://ex.org/a/b")
+    objs = {q[1][1].rsplit("/", 1)[1]: q[2] for q in got}
+    assert objs["url"] == ("i", "http://ex.org/home")
+    assert objs["sameAs"] == ("i", "http://other.example/x")
+
+
+def test_rdfa_nested_typeof_links_parent():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/x">'
+        '<div property="address" typeof="PostalAddress">'
+        '<span property="addressLocality">S</span></div></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    nested = [q[2] for q in got if q[1][1].endswith("/address")][0]
+    assert nested[0] == "b"
+    assert (nested, ("i", RDF_TYPE), ("i", "http://schema.org/PostalAddress"), None) in got
+    assert (nested, ("i", "http://schema.org/addressLocality"),
+            ("l", "S", None, None), None) in got
+
+
+def test_rdfa_datatype_attr():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/x">'
+        '<span property="height" datatype="xsd:integer">170</span></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    assert got[0][2] == ("l", "170", "http://www.w3.org/2001/XMLSchema#integer", None)
+
+
+def test_rdfa_deterministic():
+    html = '<div vocab="http://schema.org/"><div typeof="Thing"><span property="name">A</span></div></div>'
+    assert parse_rdfa(html, base=BASE) == parse_rdfa(html, base=BASE)
+
+
+def test_extract_blocks_detects_attribute_markup():
+    html = (
+        '<script type="text/turtle">@prefix ex: <http://ex/> .</script>'
+        '<div itemscope itemtype="http://schema.org/Thing"></div>'
+        '<p vocab="http://schema.org/" property="name">n</p>'
+    )
+    fmts = [b[1] for b in extract_blocks_from_html(html)]
+    assert fmts == ["turtle", "microdata", "rdfa"]
+
+
+def test_extract_blocks_plain_html_is_empty():
+    assert extract_blocks_from_html("<html><body><p>hello</p></body></html>") == []
