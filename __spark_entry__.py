@@ -284,6 +284,61 @@ def q_rdf_predicate_histogram(spark, sf_dir):
     return t.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).select("pred", "n")
 
 
+def q_rdf_xsd_validate(spark, sf_dir):
+    """XSD datatype validation/conversion (F4/F5) over literals
+    synthesized from lineitem — includes invalid lexical forms."""
+    from rdf_spark.functions.datatypes import xsd_is_valid, xsd_native
+
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 50 == 0)
+    lits = li.select(
+        F.concat(F.lit("lit/"), F.col("l_orderkey").cast("string"), F.lit("-"),
+                 F.col("l_linenumber").cast("string")).alias("lit_id"),
+        # rotate datatypes; make every 7th integer invalid (decimal point)
+        F.when(F.col("l_linenumber") % 3 == 0, F.lit(XSD + "integer"))
+        .when(F.col("l_linenumber") % 3 == 1, F.lit(XSD + "decimal"))
+        .otherwise(F.lit(XSD + "double")).alias("dt"),
+        F.when(
+            (F.col("l_linenumber") % 3 == 0) & (F.col("l_orderkey") % 7 == 0),
+            F.concat(F.col("l_quantity").cast("int").cast("string"), F.lit(".5")),
+        ).otherwise(
+            F.when(F.col("l_linenumber") % 3 == 2,
+                   F.concat(F.col("l_quantity").cast("int").cast("string"),
+                            F.lit("e2")))
+            .otherwise(F.col("l_quantity").cast("int").cast("string"))
+        ).alias("lex"),
+    )
+    out = lits.select(
+        "lit_id", "lex",
+        xsd_is_valid(F.col("lex"), F.col("dt")).alias("valid"),
+        xsd_native(F.col("lex"), F.col("dt")).alias("nat"),
+    )
+    return out.select(
+        "lit_id", "lex", "valid",
+        F.coalesce(F.col("nat.int").cast("double"), F.lit(-1.0)).alias("as_int"),
+        F.coalesce(F.col("nat.dec").cast("double"), F.lit(-1.0)).alias("as_dec"),
+        F.coalesce(F.col("nat.dbl"), F.lit(-1.0)).alias("as_dbl"),
+    )
+
+
+def q_doc_subword_tokens(spark, sf_dir):
+    from rdf_spark.functions.text import subword_token_count, token_count
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        subword_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_emb_near_dups(spark, sf_dir):
+    from rdf_spark.operators.dedup import embedding_near_dups
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, threshold=0.9)
+
+
 def q_doc_token_stats(spark, sf_dir):
     from rdf_spark.functions.text import avg_token_len, char_count, token_count
 
@@ -451,6 +506,31 @@ def q_kg_pipeline(spark, sf_dir):
     return canonicalize(t)
 
 
+def q_kg_streaming(spark, sf_dir):
+    """Structured Streaming ingest (file source -> stateless parse/
+    skolemize -> exactly-once file sink, trigger=availableNow) over the
+    nation Turtle corpus. The streamed result must equal the batch
+    parse — checked by the same SQL oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from rdf_spark.streaming.ingest import ingest_available
+
+    base = os.path.join(
+        tempfile.gettempdir(), "rdf_spark_stream_q",
+        sf_dir.strip("/").replace("/", "_"),
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    in_dir = os.path.join(base, "in")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    _nation_turtle(spark, sf_dir).write.mode("overwrite").parquet(in_dir)
+    ingest_available(spark, in_dir, out_dir, ckpt, from_html=False)
+    t = spark.read.parquet(out_dir)
+    return t.where(F.col("error").isNull()).select("subj", "pred", "obj_lex")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_kg_pipeline(spark, "/root/testdata/sf0.001")
@@ -472,6 +552,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
+        "rdf_xsd_validate": q_rdf_xsd_validate,
+        "kg_streaming": q_kg_streaming,
+        "doc_subword_tokens": q_doc_subword_tokens,
+        "emb_near_dups": q_emb_near_dups,
         "doc_token_stats": q_doc_token_stats,
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
@@ -597,6 +681,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, CAST(count(*) AS BIGINT) AS n FROM (
                 {_NATION_TRIPLES_ORACLE}
             ) GROUP BY pred
+        """,
+        "rdf_xsd_validate": r"""
+            WITH src AS (
+                SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INT) AS q
+                FROM lineitem WHERE l_orderkey % 50 = 0
+            ), lit AS (
+                SELECT 'lit/' || l_orderkey || '-' || l_linenumber AS lit_id,
+                       l_linenumber % 3 AS m,
+                       CASE WHEN l_linenumber % 3 = 0 AND l_orderkey % 7 = 0
+                                THEN q || '.5'
+                            WHEN l_linenumber % 3 = 2 THEN q || 'e2'
+                            ELSE CAST(q AS VARCHAR) END AS lex,
+                       q
+                FROM src
+            )
+            SELECT lit_id, lex,
+                   CASE WHEN m = 0 THEN regexp_matches(lex, '^[+-]?[0-9]+$')
+                        WHEN m = 1 THEN regexp_matches(lex,
+                            '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$')
+                        ELSE regexp_matches(lex,
+                            '^([+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?|[+-]?INF|NaN)$')
+                   END AS valid,
+                   COALESCE(CASE WHEN m = 0 AND regexp_matches(lex, '^[+-]?[0-9]+$')
+                        THEN CAST(lex AS DOUBLE) END, -1.0) AS as_int,
+                   COALESCE(CASE WHEN m = 1 THEN CAST(lex AS DOUBLE) END, -1.0) AS as_dec,
+                   COALESCE(CASE WHEN m = 2 THEN CAST(q AS DOUBLE) * 100 END, -1.0) AS as_dbl
+            FROM lit
+        """,
+        "kg_streaming": _NATION_TRIPLES_ORACLE,
+        "doc_subword_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS ws_tokens,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?\pL+| ?\pN+| ?[^\s\pL\pN]+')) AS BIGINT) AS bpe_tokens
+            FROM documents
+        """,
+        "emb_near_dups": """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
         """,
         "doc_token_stats": """
             SELECT doc_id,

@@ -37,7 +37,8 @@ def make_spark():
     return (
         SparkSession.builder.master(f"local[{CPUS}]")
         .appName(f"rdf-spark-bench-{CPUS}")
-        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.shuffle.partitions",
+                os.environ.get("SPARK_GRAFT_SHUFFLE", str(max(CPUS, 8))))
         .config("spark.default.parallelism", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,146 @@
+"""W3C-suite replay THROUGH the Spark pipeline with corpus-level
+precision/recall — the BASELINE.json gate ("triple P/R >= 0.95 vs
+reference on W3C RDF conformance suites ... replayed through the
+pipeline").
+
+Corpus construction (each suite doc becomes one row of a synthetic
+``pages`` table, its base IRI as the ``url``):
+- **Turtle Eval tests**: golden = the suite's own ``.nt`` result files
+  (W3C ground truth; the reference matches them 100%, so P/R vs these
+  goldens IS P/R vs the reference).
+- **N-Triples / N-Quads positive tests**: golden = the pure-Python
+  kernel's parse (itself gated by the per-test suite in
+  tests/conformance/) — measures that the distributed plumbing loses /
+  invents nothing.
+- **TriG Eval tests**: golden = pure-Python evaluation. The W3C ``.nq``
+  goldens are checked count-only by the reference (trig/doc_test.go:
+  169-172, no base-IRI parameter in TriG evaluation, doc.go:13-15) so
+  library-parity is the strongest comparable check here; the reference
+  quirks are replicated, documented in grammar/trig.py.
+
+Matching is blank-node-isomorphism-aware per document: normalize both
+sides (first-occurrence relabeling, the reference's own procedure),
+sort, then count matched triples via Document.Equal when the docs match
+wholesale, else via normalized serialized multiset intersection.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from . import terms as T
+from .testsuite import load_manifest_regex
+
+
+def _norm_triple_keys(triples) -> Counter:
+    normed = T.normalize_blank_nodes(T.sort_document(triples))
+    return Counter(T.triple_str(t) for t in normed)
+
+
+def _norm_quad_keys(quads) -> Counter:
+    normed = T.normalize_blank_nodes_quads(T.sort_quads(quads))
+    return Counter(T.quad_str(q) for q in normed)
+
+
+def _matched(golden, mine, quads: bool) -> int:
+    """Matched-triple count, bnode-isomorphism-aware."""
+    if quads:
+        if T.quad_documents_equal(T.sort_quads(golden), T.sort_quads(mine)):
+            return len(golden)
+        a, b = _norm_quad_keys(golden), _norm_quad_keys(mine)
+    else:
+        if T.documents_equal(T.sort_document(golden), T.sort_document(mine)):
+            return len(golden)
+        a, b = _norm_triple_keys(golden), _norm_triple_keys(mine)
+    return sum(min(n, b[k]) for k, n in a.items())
+
+
+def build_corpus():
+    """[(url, format, text, golden_quads, suite)] for every replayable
+    suite doc (golden as quad tuples; graph None for triple syntaxes)."""
+    from .grammar import trig as trig_mod
+    from .grammar import turtle as ttl
+    from .grammar.nquads import parse_document as parse_nq
+    from .grammar.ntriples import parse_document as parse_nt
+
+    corpus = []
+    for t in load_manifest_regex("turtle"):
+        if t.test_type != "rdft:TestTurtleEval":
+            continue
+        golden = [(s, p, o, None)
+                  for s, p, o in parse_nt(t.result_text(), validate=False)]
+        corpus.append((t.base_iri, "turtle", t.action_text(), golden, "turtle"))
+    for t in load_manifest_regex("ntriples"):
+        if t.test_type != "rdft:TestNTriplesPositiveSyntax":
+            continue
+        text = t.action_text()
+        golden = [(s, p, o, None) for s, p, o in parse_nt(text, validate=True)]
+        corpus.append((t.base_iri, "ntriples", text, golden, "ntriples"))
+    for t in load_manifest_regex("nquads"):
+        if t.test_type != "rdft:TestNQuadsPositiveSyntax":
+            continue
+        text = t.action_text()
+        golden = parse_nq(text, validate=True)
+        corpus.append((t.base_iri, "nquads", text, golden, "nquads"))
+    for t in load_manifest_regex("trig"):
+        if t.test_type != "rdft:TestTrigEval":
+            continue
+        text = t.action_text()
+        golden = trig_mod.parse_and_evaluate(text)
+        corpus.append((t.base_iri, "trig", text, golden, "trig"))
+    return corpus
+
+
+def replay_through_pipeline(spark) -> dict:
+    """Run the corpus through the Spark parse stage (the same
+    mapInPandas operator the production pipeline uses) and score
+    per-suite + overall precision/recall."""
+    from .operators.parse import TRIPLES_SCHEMA, good_triples, parse_pages
+    from .submit import ship_package
+
+    ship_package(spark)
+    corpus = build_corpus()
+    pages = spark.createDataFrame(
+        [(url, fmt, text) for url, fmt, text, _, _ in corpus],
+        "url string, format string, text string",
+    )
+    parsed = good_triples(parse_pages(pages)).collect()
+
+    by_url: dict[str, list] = defaultdict(list)
+    for r in parsed:
+        s = T.row_to_term(r["subj_kind"], r["subj"])
+        p = ("i", r["pred"])
+        o = T.row_to_term(r["obj_kind"], r["obj_lex"], r["obj_datatype"],
+                          r["obj_lang"])
+        g = (T.row_to_term(r["graph_kind"], r["graph"])
+             if r["graph"] is not None else None)
+        by_url[r["url"]].append((s, p, o, g))
+
+    stats: dict[str, dict] = defaultdict(lambda: {
+        "docs": 0, "golden": 0, "emitted": 0, "matched": 0})
+    for url, _fmt, _text, golden, suite in corpus:
+        mine = by_url.get(url, [])
+        quads = suite in ("nquads", "trig")
+        if quads:
+            m = _matched(golden, mine, quads=True)
+        else:
+            m = _matched([(s, p, o) for s, p, o, _ in golden],
+                         [(s, p, o) for s, p, o, _ in mine], quads=False)
+        st = stats[suite]
+        st["docs"] += 1
+        st["golden"] += len(golden)
+        st["emitted"] += len(mine)
+        st["matched"] += m
+
+    out = {}
+    tot = {"docs": 0, "golden": 0, "emitted": 0, "matched": 0}
+    for suite, st in sorted(stats.items()):
+        p = st["matched"] / st["emitted"] if st["emitted"] else 1.0
+        r = st["matched"] / st["golden"] if st["golden"] else 1.0
+        out[suite] = {**st, "precision": round(p, 6), "recall": round(r, 6)}
+        for k in tot:
+            tot[k] += st[k]
+    p = tot["matched"] / tot["emitted"] if tot["emitted"] else 1.0
+    r = tot["matched"] / tot["golden"] if tot["golden"] else 1.0
+    out["overall"] = {**tot, "precision": round(p, 6), "recall": round(r, 6)}
+    return out

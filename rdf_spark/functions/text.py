@@ -35,6 +35,19 @@ def avg_token_len(text: Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer approximation: contraction suffixes,
+# letter runs, digit runs, punctuation runs (each with optional leading
+# space), remaining whitespace. Counts pre-merge segments — the stable
+# upper-bound estimate a BPE tokenizer refines.
+_SUBWORD_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+"
+
+
+def subword_token_count(text: Column) -> Column:
+    """BPE-ish token count (segments of the GPT-2 pre-tokenizer regex).
+    Whole-stage-codegen regexp; no Python."""
+    return F.size(F.regexp_extract_all(text, F.lit(_SUBWORD_RE), 0))
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of punctuation characters, 4dp."""
     np = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))

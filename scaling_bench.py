@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north_rule: >=0.8 throughput scaling
+from N to 4N executors; sandbox stand-in: local[N] vs local[4N]).
+
+Runs ONLY the end-to-end KG pipeline (the headline triples/sec metric)
+REPS times in one session and reports each rep plus the best — repeated
+measurement because single runs on this shared box vary by 2-3x.
+
+Usage: SPARK_GRAFT_CPUS=8 python scaling_bench.py
+Prints one JSON line per invocation; BENCH.md aggregates both levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+# Corpus replication factor: the scaling measurement needs enough work
+# per core that fixed per-job costs (stage scheduling, broadcast, AQE
+# planning) don't dominate the 4N-level run. Each replica gets a
+# distinct url (skolemization/dedup see distinct documents).
+MULT = int(os.environ.get("SPARK_GRAFT_SCALING_MULT", "4"))
+# Fixed partition count across levels: same dataset, same layout; many
+# small partitions -> multiple task waves at both N and 4N (no
+# last-wave straggling at the higher level).
+PARTS = int(os.environ.get("SPARK_GRAFT_SCALING_PARTS", "256"))
+
+
+def main() -> None:
+    # identical logical AND physical plan at both levels: fix the
+    # shuffle partitioning so only the executor count varies
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE", "64")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import bench
+
+    spark = bench.make_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    from rdf_spark.submit import ship_package
+
+    ship_package(spark)
+    from pyspark.sql import functions as F
+
+    pages_path = os.path.join(bench.build_corpus(spark), "pages.parquet")
+    base_pages = spark.read.parquet(pages_path)
+    pages = (
+        base_pages.crossJoin(spark.range(MULT).withColumnRenamed("id", "__rep"))
+        .withColumn(
+            "url", F.concat(F.col("url"), F.lit("?rep="), F.col("__rep"))
+        )
+        .drop("__rep")
+        .repartition(PARTS)
+    )
+    pages.write.mode("overwrite").parquet("/tmp/rdf_spark_scaling_pages.parquet")
+    pages = spark.read.parquet("/tmp/rdf_spark_scaling_pages.parquet")
+    from rdf_spark.operators.parse import parse_pages
+
+    parse_pages(pages.limit(256).repartition(bench.CPUS)).count()  # warm workers
+
+    reps = []
+    n_triples = 0
+    for _ in range(REPS):
+        sec, n_triples = bench.bench_kg_pipeline(spark, pages)
+        reps.append(round(sec, 3))
+    best = min(reps)
+    print(json.dumps({
+        "metric": "kg_pipeline_triples_per_sec",
+        "value": round(n_triples / best, 1),
+        "unit": "triples/sec",
+        "cpus": bench.CPUS,
+        "sf_dir": bench.SF_DIR,
+        "triples_out": n_triples,
+        "reps_sec": reps,
+        "best_sec": best,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
