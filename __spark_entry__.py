@@ -284,6 +284,67 @@ def q_rdf_predicate_histogram(spark, sf_dir):
     return t.groupBy("pred").agg(F.count(F.lit(1)).alias("n")).select("pred", "n")
 
 
+def q_rdf_salted_degree(spark, sf_dir):
+    """Skew-safe two-phase salted aggregate (SURVEY.md R12 skew design):
+    per-predicate triple counts over the customer->nation graph; result
+    provably identical to a plain GROUP BY (the oracle)."""
+    from rdf_spark.operators.link import salted_count
+
+    c = _read(spark, sf_dir, "customer")
+    triples = c.select(
+        F.concat(F.lit(EX + "cust/"), F.col("c_custkey").cast("string")).alias("subj"),
+        # heavy skew: one hot predicate dominates
+        F.when(F.col("c_custkey") % 10 == 0, F.lit(EX + "segment"))
+        .otherwise(F.lit(RDF_TYPE)).alias("pred"),
+    )
+    return salted_count(triples, ["pred"], salts=8).select(
+        "pred", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_rdf_po_map(spark, sf_dir):
+    """Per-subject predicate-object map (reference SubjectMap /
+    PredicateObjectMap, turtle/doc.go:398-417) flattened to a sorted
+    string for engine-portable comparison."""
+    from rdf_spark.operators.graphops import predicate_object_map
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    po = predicate_object_map(t)
+    return po.select(
+        "subj",
+        F.array_join(
+            F.sort_array(F.transform(
+                F.col("po"), lambda x: F.concat(x["pred"], F.lit("="), x["obj_lex"])
+            )),
+            "|",
+        ).alias("po_flat"),
+    )
+
+
+def q_rdf_add_remove(spark, sf_dir):
+    """Insert + delete over a triple store (reference Graph.Add/Remove,
+    graph.go:11-14, 41-48): add region triples, remove every nation
+    whose key is divisible by 3."""
+    from rdf_spark.operators.graphops import add, remove
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    r = _read(spark, sf_dir, "region")
+    new_triples = r.select(
+        F.lit(0).cast("tinyint").alias("subj_kind"),
+        F.concat(F.lit(EX + "r"), F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit(EX + "name").alias("pred"),
+        F.lit(2).cast("tinyint").alias("obj_kind"),
+        F.col("r_name").alias("obj_lex"),
+    )
+    n = _read(spark, sf_dir, "nation")
+    doomed = n.where(F.col("n_nationkey") % 3 == 0).select(
+        F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(EX + "name").alias("pred"),
+        F.col("n_name").alias("obj_lex"),
+    )
+    return remove(add(t, new_triples), doomed).select("subj", "pred", "obj_lex")
+
+
 def q_rdf_xsd_validate(spark, sf_dir):
     """XSD datatype validation/conversion (F4/F5) over literals
     synthesized from lineitem — includes invalid lexical forms."""
@@ -552,6 +613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
+        "rdf_salted_degree": q_rdf_salted_degree,
+        "rdf_po_map": q_rdf_po_map,
+        "rdf_add_remove": q_rdf_add_remove,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         "kg_streaming": q_kg_streaming,
         "doc_subword_tokens": q_doc_subword_tokens,
@@ -681,6 +745,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT pred, CAST(count(*) AS BIGINT) AS n FROM (
                 {_NATION_TRIPLES_ORACLE}
             ) GROUP BY pred
+        """,
+        "rdf_salted_degree": f"""
+            SELECT CASE WHEN c_custkey % 10 = 0 THEN 'http://ex/segment'
+                        ELSE '{RDF_TYPE}' END AS pred,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1
+        """,
+        "rdf_po_map": f"""
+            WITH t AS ({_NATION_TRIPLES_ORACLE})
+            SELECT subj,
+                   array_to_string(list_sort(list(pred || '=' || obj_lex)), '|') AS po_flat
+            FROM t GROUP BY subj
+        """,
+        "rdf_add_remove": f"""
+            WITH t AS (
+                {_NATION_TRIPLES_ORACLE}
+                UNION ALL
+                SELECT 'http://ex/r' || r_regionkey, 'http://ex/name', r_name
+                FROM region
+            )
+            SELECT subj, pred, obj_lex FROM t
+            WHERE NOT (subj IN (SELECT 'http://ex/n' || n_nationkey FROM nation
+                                WHERE n_nationkey % 3 = 0)
+                       AND pred = 'http://ex/name')
         """,
         "rdf_xsd_validate": r"""
             WITH src AS (
