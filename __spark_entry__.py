@@ -6,10 +6,14 @@ rdf_spark grammar engine (Arrow-vectorized), skolemized, entity-linked
 and canonicalized; returns the canonical triple table.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
-SURVEY.md §2 plus the training-data operators (dedup, ANN, text
-analysis, multimodal). Spark results and DuckDB oracles share exact
-column names and value semantics (hashes via md5/sha256, floats
-rounded before comparison/ranking).
+SURVEY.md §2 (parsing for all six syntaxes + RDFa/Microdata/JSON-LD,
+triple-pattern ops, skolemize, serialize, dedupe, entity link, salted
+skew-safe aggregate, XSD datatypes, streaming ingest) plus the
+training-data operators (dedup, ANN, text analysis, multimodal).
+Spark results and DuckDB oracles share exact column names and value
+semantics (hashes via md5/sha256, floats rounded before comparison/
+ranking). Rows-only entries (simhash, ANN-LSH, pixel-stub resize,
+full pipeline) are genuinely non-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -531,6 +535,27 @@ def q_mm_features(spark, sf_dir):
     )
 
 
+def q_mm_decode_resize(spark, sf_dir):
+    """Image decode (stubbed codec, real Arrow plumbing) -> nearest-
+    neighbor resize to 4x4 (rows-only: pixel bytes derive from a
+    sha256-seeded stub, not SQL-expressible)."""
+    from rdf_spark.operators.multimodal import decode_images, resize_images
+
+    d = _read(spark, sf_dir, "documents").limit(200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+        F.lit("image/png").alias("mime"),
+        F.lit(8).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    out = resize_images(decode_images(media), 4, 4)
+    return out.select("media_id", "width", "height", "channels",
+                      F.sha2(F.col("pixels"), 256).alias("pixels_sha"))
+
+
 # rows-only (no SQL oracle): simhash majority voting + hamming bands
 def q_doc_simhash_pairs(spark, sf_dir):
     from rdf_spark.operators.dedup import simhash, simhash_near_dups
@@ -634,6 +659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": q_tpch_q1_like,
         "mm_features": q_mm_features,
         # rows-only checks (non-SQL-expressible):
+        "mm_decode_resize": q_mm_decode_resize,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
         "kg_pipeline": q_kg_pipeline,

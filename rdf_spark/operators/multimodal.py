@@ -88,6 +88,94 @@ def extract_features(media: DataFrame) -> DataFrame:
     )
 
 
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("pixels", BinaryType()),   # row-major uint8, stubbed
+    ]
+)
+
+
+def _decode_image_real(content: bytes):
+    """Real decode path — this container ships no imaging libraries.
+    Production drops PIL/libvips in here; the Spark plumbing around it
+    (schema, Arrow batch shape, partitioning) does not change."""
+    raise NotImplementedError("image codecs not available in this container")
+
+
+def _decode_image_fake(content: bytes, meta_w, meta_h):
+    """Deterministic fake: dimensions from metadata (fallback 8x8),
+    pixel bytes derived from the content hash — stable across runs and
+    engines, so downstream ops (resize, feature hash) are testable."""
+    w = int(meta_w) if meta_w is not None else 8
+    h = int(meta_h) if meta_h is not None else 8
+    seed = hashlib.sha256(content).digest()
+    n = w * h * 3
+    px = (seed * (n // len(seed) + 1))[:n]
+    return w, h, 3, px
+
+
+def decode_images(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
+    """image rows -> decoded pixel buffers via mapInPandas (Arrow moves
+    the binary columns without copies; partition-preserving)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content, w, h in zip(
+                pdf["media_id"], pdf["content"], pdf["width"], pdf["height"]
+            ):
+                b = bytes(content) if content is not None else b""
+                if use_real_codec:
+                    dw, dh, c, px = _decode_image_real(b)
+                else:
+                    dw, dh, c, px = _decode_image_fake(
+                        b, None if pd.isna(w) else w, None if pd.isna(h) else h
+                    )
+                rows.append((mid, dw, dh, c, px))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "pixels"]
+            )
+
+    src = media.where(F.col("media_type") == "image").select(
+        "media_id", "content", "width", "height"
+    )
+    return src.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize over decoded pixel buffers — pure-Python
+    on the stubbed buffers (production: vectorized via numpy/PIL in the
+    same mapInPandas slot). Output schema fixed at (out_w, out_h)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, c, px in zip(
+                pdf["media_id"], pdf["width"], pdf["height"],
+                pdf["channels"], pdf["pixels"],
+            ):
+                w, h, c = int(w), int(h), int(c)
+                src_px = bytes(px)
+                out = bytearray(out_w * out_h * c)
+                for y in range(out_h):
+                    sy = min(y * h // out_h, h - 1)
+                    for x in range(out_w):
+                        sx = min(x * w // out_w, w - 1)
+                        si = (sy * w + sx) * c
+                        di = (y * out_w + x) * c
+                        out[di:di + c] = src_px[si:si + c]
+                rows.append((mid, out_w, out_h, c, bytes(out)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "channels", "pixels"]
+            )
+
+    return decoded.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per planned frame timestamp.
     Pure SQL fan-out (sequence + explode) — the decode of each frame is
