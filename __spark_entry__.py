@@ -238,6 +238,38 @@ def q_rdf_serialize(spark, sf_dir):
     return serialize_ntriples(t).select(F.col("value").alias("line"))
 
 
+def q_rdf_serialize_turtle(spark, sf_dir):
+    """Pretty-printed Turtle sink: per-subject ';'-grouped blocks with
+    prefix compaction and 'a' for rdf:type (SURVEY.md S9)."""
+    from rdf_spark.functions.serialize import serialize_turtle
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return serialize_turtle(t, {"ex": EX}).select("subj", "value")
+
+
+def q_rdf_iri_validate(spark, sf_dir):
+    """Vectorized IRI validity triage (F1) over a mix of valid IRIs and
+    malformed refs synthesized from customer."""
+    from rdf_spark.functions.iri import iri_is_valid
+
+    c = _read(spark, sf_dir, "customer")
+    ref = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("http://ex/c/"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("urn:cust:"), F.col("c_custkey").cast("string")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("relative/path/"), F.col("c_custkey").cast("string")))
+        .otherwise(F.concat(F.lit("http://ex/bad space/"),
+                            F.col("c_custkey").cast("string")))
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        ref.alias("ref"),
+        iri_is_valid(ref).alias("valid"),
+    )
+
+
 def q_rdf_dedupe(spark, sf_dir):
     from rdf_spark.operators.canonical import canonicalize
 
@@ -635,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_group_by_graph": q_rdf_group_by_graph,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
+        "rdf_serialize_turtle": q_rdf_serialize_turtle,
+        "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
@@ -754,6 +788,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<http://ex/n' || n_nationkey || '> <http://ex/inRegion> <http://ex/r'
                    || n_regionkey || '> .'
             FROM nation
+        """,
+        "rdf_serialize_turtle": """
+            SELECT 'ex:n' || n_nationkey AS subj,
+                   'ex:n' || n_nationkey || ' a ex:Nation ;' || chr(10) ||
+                   '  ex:inRegion ex:r' || n_regionkey || ' ;' || chr(10) ||
+                   '  ex:name "' || n_name || '" .' AS value
+            FROM nation
+        """,
+        "rdf_iri_validate": """
+            SELECT c_custkey AS custkey,
+                   CASE WHEN c_custkey % 4 = 0 THEN 'http://ex/c/' || c_custkey
+                        WHEN c_custkey % 4 = 1 THEN 'urn:cust:' || c_custkey
+                        WHEN c_custkey % 4 = 2 THEN 'relative/path/' || c_custkey
+                        ELSE 'http://ex/bad space/' || c_custkey END AS ref,
+                   c_custkey % 4 IN (0, 1) AS valid
+            FROM customer
         """,
         "rdf_dedupe": """
             SELECT 'http://ex/part/' || l_partkey AS subj,

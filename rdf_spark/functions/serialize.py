@@ -65,3 +65,66 @@ def serialize_ntriples(triples: DataFrame) -> DataFrame:
     """triples -> single-column DataFrame of canonical NT/NQ lines
     (write with df.write.text)."""
     return triples.select(line_expr().alias("value"))
+
+
+_SAFE_LOCAL = "^[A-Za-z_][A-Za-z0-9_-]*$"
+
+
+def _compact(iri_col: Column, prefixes: dict[str, str]) -> Column:
+    """IRI -> prefixed name when a namespace matches and the local part
+    is unescaped-safe; else <iri>. Deterministic: longest-namespace-
+    first, then alphabetical prefix."""
+    expr = F.concat(F.lit("<"), iri_col, F.lit(">"))
+    # apply shortest namespace first: later whens wrap earlier ones, so
+    # the longest matching namespace ends up taking precedence
+    for pfx, ns in sorted(prefixes.items(), key=lambda kv: (len(kv[1]), kv[0])):
+        local = F.substring(iri_col, len(ns) + 1, 1 << 20)
+        expr = F.when(
+            iri_col.startswith(ns) & local.rlike(_SAFE_LOCAL),
+            F.concat(F.lit(pfx + ":"), local),
+        ).otherwise(expr)
+    return expr
+
+
+def serialize_turtle(triples: DataFrame,
+                     prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Pretty-printed Turtle sink (SURVEY.md S9, reference
+    turtle/doc.go:389-396 per-node String()): one block per subject
+    with ';'-grouped predicate-object pairs, 'a' for rdf:type,
+    prefix-compacted IRIs. Pure SQL expressions + one groupBy(subject)
+    shuffle; blocks are deterministic (pairs sorted lexicographically).
+
+    Returns (subj, value); prepend prefix_header() lines when writing a
+    whole document."""
+    from ..terms import RDF_TYPE
+
+    prefixes = prefixes or {}
+    pred_str = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact(F.col("pred"), prefixes)
+    )
+    obj_str = F.when(
+        F.col("obj_kind") == KIND_IRI, _compact(F.col("obj_lex"), prefixes)
+    ).otherwise(obj_expr())
+    subj_str = F.when(
+        F.col("subj_kind") == KIND_IRI, _compact(F.col("subj"), prefixes)
+    ).otherwise(subj_expr())
+    pairs = F.sort_array(
+        F.collect_list(F.concat(pred_str, F.lit(" "), obj_str))
+    )
+    return (
+        triples.groupBy(subj_str.alias("subj"))
+        .agg(pairs.alias("pairs"))
+        .select(
+            "subj",
+            F.concat(
+                F.col("subj"), F.lit(" "),
+                F.array_join(F.col("pairs"), " ;\n  "),
+                F.lit(" ."),
+            ).alias("value"),
+        )
+    )
+
+
+def prefix_header(prefixes: dict[str, str]) -> list[str]:
+    """@prefix lines for a pretty-printed document (driver-side; tiny)."""
+    return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]

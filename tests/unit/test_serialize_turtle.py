@@ -1,0 +1,85 @@
+"""Turtle pretty-printer sink + IRI validity expr."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rdf_spark.functions.iri import iri_is_valid
+from rdf_spark.functions.serialize import prefix_header, serialize_turtle
+
+SCHEMA = (
+    "subj_kind tinyint, subj string, pred string, obj_kind tinyint, "
+    "obj_lex string, obj_datatype string, obj_lang string"
+)
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    rows = [
+        (0, "http://ex/a", RDF_TYPE, 0, "http://ex/Thing", None, None),
+        (0, "http://ex/a", "http://ex/name", 2, "Alice", None, None),
+        (0, "http://ex/a", "http://ex/knows", 0, "http://ex/b", None, None),
+        (0, "http://ex/a", "http://ex/note", 2, "bonjour", None, "fr"),
+        # local part with a dot: not prefix-safe, must stay <...>
+        (0, "http://ex/x.y", "http://ex/name", 2, "Dot", None, None),
+        (1, "b0", "http://ex/name", 2, "Blank", None, None),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_blocks_grouped_and_sorted(triples):
+    out = {r["subj"]: r["value"] for r in
+           serialize_turtle(triples, {"ex": "http://ex/"}).collect()}
+    assert out["ex:a"] == (
+        "ex:a a ex:Thing ;\n"
+        '  ex:knows ex:b ;\n'
+        '  ex:name "Alice" ;\n'
+        '  ex:note "bonjour"@fr .'
+    )
+    assert out["<http://ex/x.y>"] == '<http://ex/x.y> ex:name "Dot" .'
+    assert out["_:b0"] == '_:b0 ex:name "Blank" .'
+
+
+def test_longest_namespace_wins(spark):
+    t = spark.createDataFrame(
+        [(0, "http://ex/sub/a", "http://ex/name", 2, "v", None, None)], SCHEMA
+    )
+    out = serialize_turtle(
+        t, {"ex": "http://ex/", "sub": "http://ex/sub/"}
+    ).first()["value"]
+    assert out.startswith("sub:a ")
+
+
+def test_no_prefixes_full_iris(triples):
+    out = {r["subj"]: r["value"] for r in serialize_turtle(triples).collect()}
+    block = out["<http://ex/a>"]
+    # '<' sorts before 'a', so IRI-pred pairs come first in the block
+    assert block.startswith("<http://ex/a> <http://ex/knows> <http://ex/b> ;")
+    assert "a <http://ex/Thing>" in block and block.endswith(" .")
+
+
+def test_prefix_header():
+    assert prefix_header({"b": "http://b/", "a": "http://a/"}) == [
+        "@prefix a: <http://a/> .",
+        "@prefix b: <http://b/> .",
+    ]
+
+
+def test_iri_is_valid(spark):
+    cases = [
+        ("http://example.com/a", True),
+        ("urn:x:y", True),
+        ("ftp://h/p?q=1#f", True),
+        ("relative/path", False),
+        ("http://ex/with space", False),
+        ('http://ex/"quote', False),
+        ("http://ex/{brace}", False),
+        ("1http://bad-scheme", False),
+        ("", False),
+    ]
+    df = spark.createDataFrame([(c,) for c, _ in cases], "ref string")
+    got = {r["ref"]: r["v"] for r in
+           df.select("ref", iri_is_valid(F.col("ref")).alias("v")).collect()}
+    for ref, want in cases:
+        assert got[ref] is want, ref
