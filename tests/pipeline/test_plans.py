@@ -49,6 +49,23 @@ def test_link_is_broadcast_only(triples_parquet, spark):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_partitioned_triple_table_prunes(spark, tmp_path):
+    """The materialized triple table is partitioned by bucket
+    (pipeline's part=N layout); a bucket filter must prune at the scan,
+    not post-filter — at 10^12 docs this is the difference between
+    reading one partition and reading the corpus."""
+    p = str(tmp_path / "triples")
+    df = spark.range(100).select(
+        F.col("id").alias("n"),
+        (F.col("id") % 8).alias("part"),
+        F.concat(F.lit("http://ex/s"), F.col("id").cast("string")).alias("subj"),
+    )
+    df.write.partitionBy("part").parquet(p)
+    plan = _plan(spark.read.parquet(p).where(F.col("part") == 3))
+    assert "PartitionFilters: [isnotnull(part" in plan
+    assert "(part" in plan and "= 3)" in plan
+
+
 def test_parse_skolemize_chain_has_no_shuffle(spark):
     pages = spark.createDataFrame(
         [("http://u/1", "turtle", "@prefix ex: <http://ex/> . ex:a ex:b [] .")],
