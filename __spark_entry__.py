@@ -514,6 +514,26 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(shingles(d, n=3), threshold=0.5)
 
 
+def q_doc_dup_clusters(spark, sf_dir):
+    """Connected components over the MinHash-LSH candidate graph:
+    (doc_id, cluster_id=min reachable doc_id) — the final step of
+    near-dup dedup (pick one representative per cluster)."""
+    from rdf_spark.operators.dedup import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(d, n=3), num_hashes=4)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    return dup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_emb_topk_cosine(spark, sf_dir):
     from rdf_spark.operators.ann import brute_force_topk
 
@@ -687,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_ivf_topk": q_emb_ivf_topk,
         "evt_hourly": q_evt_hourly,
@@ -959,6 +980,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b USING (band, bucket)
             WHERE a.doc_id < b.doc_id
+        """,
+        "doc_dup_clusters": _SHINGLES_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+            , sigs AS (
+                SELECT doc_id,
+                       min(md5('s0|' || shingle)) AS mh_0,
+                       min(md5('s1|' || shingle)) AS mh_1,
+                       min(md5('s2|' || shingle)) AS mh_2,
+                       min(md5('s3|' || shingle)) AS mh_3
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+                UNION ALL
+                SELECT doc_id, 2 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sigs
+            ), pairs AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band, bucket)
+                WHERE a.doc_id < b.doc_id
+            ), edges AS (
+                SELECT doc_a AS src, doc_b AS dst FROM pairs
+                UNION
+                SELECT doc_b, doc_a FROM pairs
+            ), reach AS (
+                SELECT src AS id, src AS r FROM edges
+                UNION
+                SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+            )
+            SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY id
         """,
         "doc_ngram_jaccard": _SHINGLES_CTE + """
             , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
