@@ -616,6 +616,17 @@ def q_doc_simhash_pairs(spark, sf_dir):
     return simhash_near_dups(simhash(d), max_hamming=8)
 
 
+def q_emb_ivf_kmeans_topk(spark, sf_dir):
+    """Full IVF with deterministic k-means coarse quantizer (rows-only:
+    Lloyd iterations are not SQL-expressible; recall vs the
+    brute-force oracle is asserted in tests/pipeline/test_kmeans_ivf)."""
+    from rdf_spark.operators.ann import ivf_kmeans_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return ivf_kmeans_topk(e, q, k=3, nlist=4, iters=2)
+
+
 def q_emb_lsh_topk(spark, sf_dir):
     from rdf_spark.operators.ann import lsh_topk
 
@@ -717,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_decode_resize": q_mm_decode_resize,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
         "kg_pipeline": q_kg_pipeline,
     }
 

@@ -155,3 +155,84 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """Index of the nearest centroid (squared-euclidean argmin with
+    index tie-break). Centroids inlined as literal arrays — k*dim
+    constants stay in whole-stage codegen, no UDF, no join."""
+    candidates = []
+    for i, cvec in enumerate(centroids):
+        lit_vec = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(vec, lit_vec, lambda a, b: (a.cast("double") - b) ** 2),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        candidates.append(F.struct(F.round(d, 9).alias("d"), F.lit(i).alias("c")))
+    return F.array_sort(F.array(*candidates))[0]["c"]
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over an embedding column, pure
+    DataFrame ops: init = the k vectors with the smallest ids (no RNG —
+    reproducible across runs/engines), then `iters` rounds of
+    assign (codegen argmin vs literal centroids) + recompute
+    (posexplode -> per-(cluster,dim) mean). The driver only ever holds
+    k*dim floats — O(1) in corpus size; assign/mean work is
+    distributed. Returns the learned centroids."""
+    init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
+    centroids = [[float(x) for x in r[0]] for r in init_rows]
+    for _ in range(iters):
+        assigned = emb.withColumn(
+            "centroid", _nearest_centroid(F.col(vec_col), centroids)
+        )
+        means = (
+            assigned.select("centroid",
+                            F.posexplode(F.col(vec_col)).alias("dim", "val"))
+            .groupBy("centroid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        acc: dict[int, dict[int, float]] = {}
+        for r in means:
+            acc.setdefault(r["centroid"], {})[r["dim"]] = r["m"]
+        centroids = [
+            [acc[c][d] for d in sorted(acc[c])] if c in acc else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return centroids
+
+
+def kmeans_transform(df: DataFrame, centroids: list[list[float]],
+                     vec_col: str = "embedding") -> DataFrame:
+    """Add a `centroid` column: nearest learned centroid per row."""
+    return df.withColumn("centroid", _nearest_centroid(F.col(vec_col), centroids))
+
+
+def ivf_kmeans_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Full IVF: learn coarse centroids with deterministic k-means,
+    assign corpus AND queries with the same centroids, then search only
+    the query's cluster (nprobe=1). The 100 TB path: the index build is
+    one corpus pass per Lloyd round; the query join shuffles on a
+    k-ary key instead of |Q| x |C|."""
+    cents = kmeans_fit(emb, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
+    return ivf_topk(
+        kmeans_transform(emb, cents, vec_col),
+        kmeans_transform(queries, cents, vec_col),
+        k=k, id_col=id_col, vec_col=vec_col, partition_col="centroid",
+    )
