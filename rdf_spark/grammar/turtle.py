@@ -179,10 +179,13 @@ class _Parser:
             self._ows()
             if self.i >= self.n:
                 break
-            d = self.try_directive()
-            if d is not None:
-                stmts.append(d)
-                continue
+            # directives start with '@' or (case-insensitive) P/B — skip
+            # the four probe attempts for the common triple statement
+            if self.s[self.i] in "@PpBb":
+                d = self.try_directive()
+                if d is not None:
+                    stmts.append(d)
+                    continue
             t = self.try_triples()
             if t is not None:
                 self._wsplnc()
