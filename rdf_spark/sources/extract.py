@@ -50,6 +50,7 @@ BLOCKS_SCHEMA = StructType(
         StructField("block_index", IntegerType()),
         StructField("format", StringType()),
         StructField("text", StringType()),
+        StructField("lang", StringType()),  # page language passthrough
     ]
 )
 
@@ -85,15 +86,23 @@ def extract_blocks_from_html(html: bytes | str):
 
 
 def extract_pages(pages: DataFrame) -> DataFrame:
-    """pages(url, html, ...) -> blocks(url, block_index, format, text)."""
-    src = pages.select("url", "html")
+    """pages(url, html[, lang], ...) -> blocks(url, block_index,
+    format, text, lang) — the page-level ``lang`` column (input_hint
+    schema) rides along for downstream language filtering."""
+    has_lang = "lang" in pages.columns
+    cols = ["url", "html"] + (["lang"] if has_lang else [])
+    src = pages.select(*cols)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
+            langs = pdf["lang"] if has_lang else None
+            for i, (url, html) in enumerate(zip(pdf["url"], pdf["html"])):
+                lang = langs.iloc[i] if langs is not None else None
                 for idx, fmt, text in extract_blocks_from_html(html):
-                    rows.append((url, idx, fmt, text))
-            yield pd.DataFrame(rows, columns=["url", "block_index", "format", "text"])
+                    rows.append((url, idx, fmt, text, lang))
+            yield pd.DataFrame(
+                rows, columns=["url", "block_index", "format", "text", "lang"]
+            )
 
     return src.mapInPandas(run, schema=BLOCKS_SCHEMA)
