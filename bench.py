@@ -42,7 +42,11 @@ def make_spark():
         .config("spark.default.parallelism", str(CPUS))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # smaller Arrow batches = finer work units for the Python parse
+        # stage; measured 512 > 2048 > 8192 on pipeline throughput
+        # (coarse batches straggle on variable-size documents)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch",
+                os.environ.get("SPARK_GRAFT_ARROW_BATCH", "512"))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
