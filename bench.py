@@ -54,8 +54,15 @@ def make_spark():
 
 
 def corpus_dir() -> str:
+    # cache key includes the input table's size+mtime so a regenerated
+    # testdata dir (new round, new data) invalidates the cached corpus
     tag = SF_DIR.strip("/").replace("/", "_")
-    return f"/tmp/rdf_spark_bench_corpus/{tag}"
+    try:
+        st = os.stat(f"{SF_DIR}/lineitem.parquet")
+        sig = f"{st.st_size}_{int(st.st_mtime)}"
+    except OSError:
+        sig = "nosig"
+    return f"/tmp/rdf_spark_bench_corpus/{tag}_{sig}"
 
 
 def build_corpus(spark) -> str:
