@@ -247,6 +247,28 @@ def q_rdf_serialize_turtle(spark, sf_dir):
     return serialize_turtle(t, {"ex": EX}).select("subj", "value")
 
 
+def q_rdf_serialize_trig(spark, sf_dir):
+    """TriG dataset pretty-printer: one graph section per region graph
+    of the N-Quads corpus (SURVEY.md S9 dataset form)."""
+    from rdf_spark.functions.serialize import serialize_trig
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("<http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit('> <http://ex/name> "'), F.col("n_name"),
+        F.lit('" <http://ex/region/'), F.col("n_regionkey").cast("string"),
+        F.lit("> .\n"),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/nq/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("nquads").alias("format"), text.alias("text"),
+    )
+    quads = good_triples(parse_pages(pages))
+    return serialize_trig(quads, {"ex": EX}).select("graph", "value")
+
+
 def q_rdf_iri_validate(spark, sf_dir):
     """Vectorized IRI validity triage (F1) over a mix of valid IRIs and
     malformed refs synthesized from customer."""
@@ -699,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
+        "rdf_serialize_trig": q_rdf_serialize_trig,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
@@ -828,6 +851,15 @@ def oracle_sql() -> dict[str, str]:
                    '  ex:inRegion ex:r' || n_regionkey || ' ;' || chr(10) ||
                    '  ex:name "' || n_name || '" .' AS value
             FROM nation
+        """,
+        "rdf_serialize_trig": """
+            SELECT '<http://ex/region/' || n_regionkey || '>' AS graph,
+                   '<http://ex/region/' || n_regionkey || '> {' || chr(10) ||
+                   string_agg('ex:n' || n_nationkey || ' ex:name "' || n_name
+                              || '" .', chr(10)
+                              ORDER BY 'ex:n' || n_nationkey) ||
+                   chr(10) || '}' AS value
+            FROM nation GROUP BY n_regionkey
         """,
         "rdf_iri_validate": """
             SELECT c_custkey AS custkey,

@@ -125,6 +125,55 @@ def serialize_turtle(triples: DataFrame,
     )
 
 
+def serialize_trig(quads: DataFrame,
+                   prefixes: dict[str, str] | None = None) -> DataFrame:
+    """Pretty-printed TriG sink (S9 dataset form): per-graph sections —
+    default-graph subject blocks bare, named graphs wrapped in
+    ``<label> { ... }``. Returns (graph, value) with one row per graph;
+    deterministic (blocks sorted by subject). Two shuffles:
+    groupBy(graph, subject) then groupBy(graph). An export/debug sink —
+    a whole graph section materializes in one row, so route truly
+    massive default graphs through serialize_turtle/serialize_ntriples
+    instead."""
+    from ..terms import RDF_TYPE
+
+    prefixes = prefixes or {}
+    pred_str = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact(F.col("pred"), prefixes)
+    )
+    obj_str = F.when(
+        F.col("obj_kind") == KIND_IRI, _compact(F.col("obj_lex"), prefixes)
+    ).otherwise(obj_expr())
+    subj_str = F.when(
+        F.col("subj_kind") == KIND_IRI, _compact(F.col("subj"), prefixes)
+    ).otherwise(subj_expr())
+    graph_str = F.when(
+        F.col("graph_kind").isNull(), F.lit(None).cast("string")
+    ).otherwise(term_expr(F.col("graph_kind"), F.col("graph")))
+
+    blocks = (
+        quads.groupBy(graph_str.alias("graph"), subj_str.alias("subj"))
+        .agg(F.sort_array(
+            F.collect_list(F.concat(pred_str, F.lit(" "), obj_str))
+        ).alias("pairs"))
+        .select(
+            "graph",
+            F.concat(F.col("subj"), F.lit(" "),
+                     F.array_join(F.col("pairs"), " ;\n  "),
+                     F.lit(" .")).alias("block"),
+        )
+    )
+    body = F.array_join(F.sort_array(F.collect_list(F.col("block"))), "\n")
+    return blocks.groupBy("graph").agg(body.alias("body")).select(
+        "graph",
+        F.when(
+            F.col("graph").isNull(), F.col("body")
+        ).otherwise(
+            F.concat(F.col("graph"), F.lit(" {\n"), F.col("body"), F.lit("\n}"))
+        ).alias("value"),
+    )
+
+
 def prefix_header(prefixes: dict[str, str]) -> list[str]:
     """@prefix lines for a pretty-printed document (driver-side; tiny)."""
     return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]

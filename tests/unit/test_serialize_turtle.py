@@ -66,6 +66,29 @@ def test_prefix_header():
     ]
 
 
+def test_serialize_trig_graph_sections(spark):
+    from rdf_spark.functions.serialize import serialize_trig
+    from rdf_spark.grammar.trig import parse_and_evaluate
+
+    rows = [
+        (0, "http://ex/a", "http://ex/p", 0, "http://ex/o", None, None, None, None),
+        (0, "http://ex/b", "http://ex/p", 2, "x", None, None, 0, "http://ex/g1"),
+        (1, "b0", "http://ex/p", 2, "y", None, None, 0, "http://ex/g1"),
+    ]
+    q = spark.createDataFrame(
+        rows, SCHEMA + ", graph_kind tinyint, graph string"
+    )
+    out = {r["graph"]: r["value"]
+           for r in serialize_trig(q, {"ex": "http://ex/"}).collect()}
+    assert out[None] == "ex:a ex:p ex:o ."
+    assert out["<http://ex/g1>"] == (
+        '<http://ex/g1> {\n_:b0 ex:p "y" .\nex:b ex:p "x" .\n}'
+    )
+    # round-trip through our own TriG parser
+    text = "@prefix ex: <http://ex/> .\n" + "\n".join(out.values())
+    assert len(parse_and_evaluate(text)) == 3
+
+
 def test_iri_is_valid(spark):
     cases = [
         ("http://example.com/a", True),
