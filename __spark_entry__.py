@@ -149,6 +149,54 @@ def q_rdf_parse_star(spark, sf_dir):
     return t.select(F.col("subj_kind").cast("int").alias("subj_kind"), "subj", "pred", "obj_lex")
 
 
+def q_rdf_parse_trig(spark, sf_dir):
+    """TriG dataset parse (reference trig/doc.go:86-135 +
+    trig/evaluate.go:10-251): one TriG doc per nation with the region
+    graph labeled via a prefixed name."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex/> .\n"),
+        F.lit("ex:g"), F.col("n_regionkey").cast("string"), F.lit(" {\n"),
+        F.lit("ex:n"), F.col("n_nationkey").cast("string"),
+        F.lit(' ex:name "'), F.col("n_name"), F.lit('" ;\n'),
+        F.lit("  ex:inRegion ex:r"), F.col("n_regionkey").cast("string"),
+        F.lit(" .\n}\n"),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/trig/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("trig").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex", "graph")
+
+
+def q_rdf_parse_star_nq(spark, sf_dir):
+    """RDF-star N-Quads parse (reference star/nquads/doc.go:16-47):
+    quoted-triple subjects with a named-graph label per region."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("<< <http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit('> <http://ex/name> "'), F.col("n_name"),
+        F.lit('" >> <http://ex/saidBy> <http://ex/crawler> <http://ex/g'),
+        F.col("n_regionkey").cast("string"), F.lit("> .\n"),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/starnq/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("nquads-star").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select(F.col("subj_kind").cast("int").alias("subj_kind"),
+                    "subj", "pred", "obj_lex", "graph")
+
+
 def q_rdf_parse_microdata(spark, sf_dir):
     """HTML pages with Microdata markup -> triples via the full
     extraction front-end (extract_pages + parse_pages)."""
@@ -714,6 +762,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
         "rdf_parse_star": q_rdf_parse_star,
+        "rdf_parse_trig": q_rdf_parse_trig,
+        "rdf_parse_star_nq": q_rdf_parse_star_nq,
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_triple_pattern": q_rdf_triple_pattern,
@@ -797,6 +847,23 @@ def oracle_sql() -> dict[str, str]:
                    '<< <http://ex/n' || n_nationkey || '> <http://ex/name> "' ||
                    n_name || '" >>' AS subj,
                    'http://ex/saidBy' AS pred, 'http://ex/crawler' AS obj_lex
+            FROM nation
+        """,
+        "rdf_parse_trig": """
+            SELECT 'http://ex/n' || n_nationkey AS subj, 'http://ex/name' AS pred,
+                   n_name AS obj_lex, 'http://ex/g' || n_regionkey AS graph
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                   'http://ex/r' || n_regionkey, 'http://ex/g' || n_regionkey
+            FROM nation
+        """,
+        "rdf_parse_star_nq": """
+            SELECT 3 AS subj_kind,
+                   '<< <http://ex/n' || n_nationkey || '> <http://ex/name> "' ||
+                   n_name || '" >>' AS subj,
+                   'http://ex/saidBy' AS pred, 'http://ex/crawler' AS obj_lex,
+                   'http://ex/g' || n_regionkey AS graph
             FROM nation
         """,
         "rdf_parse_microdata": f"""
