@@ -39,29 +39,38 @@ from ..operators.skolemize import skolemize
 from ..sources.extract import extract_pages
 
 
+def parse_stage(pages: DataFrame, from_html: bool = True) -> DataFrame:
+    """pages -> parsed rows (good triples AND errors-as-rows; lazy).
+    The single expensive stage: extract + grammar parse. Everything
+    downstream (triple build, error accounting) derives from this one
+    DataFrame so the parse runs once per bucket."""
+    if from_html:
+        blocks = extract_pages(pages)
+    else:
+        blocks = pages.select("url", F.lit("turtle").alias("format"), "text")
+    return parse_pages(blocks)
+
+
+def finish_triples(parsed: DataFrame,
+                   dictionary: DataFrame | None = None) -> DataFrame:
+    """parsed rows -> canonical triples (skolemize -> link -> dedupe)."""
+    triples = skolemize(good_triples(parsed))
+    if dictionary is not None:
+        triples = link_entities(triples, dictionary)
+    return canonicalize(triples)
+
+
 def build_triples(
     pages: DataFrame,
     dictionary: DataFrame | None = None,
     from_html: bool = True,
 ) -> DataFrame:
     """The logical plan pages -> canonical triples (lazy; no actions)."""
-    if from_html:
-        blocks = extract_pages(pages)
-    else:
-        blocks = pages.select("url", F.lit("turtle").alias("format"), "text")
-    parsed = parse_pages(blocks)
-    triples = good_triples(parsed)
-    triples = skolemize(triples)
-    if dictionary is not None:
-        triples = link_entities(triples, dictionary)
-    return canonicalize(triples)
+    return finish_triples(parse_stage(pages, from_html), dictionary)
 
 
 def parse_errors(pages: DataFrame, from_html: bool = True) -> DataFrame:
-    blocks = extract_pages(pages) if from_html else pages.select(
-        "url", F.lit("turtle").alias("format"), "text"
-    )
-    parsed = parse_pages(blocks)
+    parsed = parse_stage(pages, from_html)
     return parsed.where(F.col("error").isNotNull()).select("url", "error")
 
 
@@ -97,20 +106,29 @@ class PipelineRun:
         bucketed = pages.withColumn(
             "__bucket", F.pmod(F.xxhash64("url"), F.lit(self.n_buckets)).cast("int")
         )
-        # cache the (small-at-test-scale) bucketed input once; at real
-        # scale each bucket is instead an Iceberg partition-filtered scan
+        # Per bucket: ONE parse. The parsed rows (flat triple columns,
+        # far smaller than the raw HTML) are persisted and feed both the
+        # triple build and the error count; docs_in is a column-pruned
+        # count of the bucket's pages (url only, no parse) and
+        # triples_out a parquet-footer count of the written partition.
+        # At real scale each bucket is an Iceberg partition-filtered
+        # scan instead of the hash filter.
         for b in range(self.n_buckets):
             if b in done:
                 continue
             t0 = time.monotonic()
             part = bucketed.where(F.col("__bucket") == b).drop("__bucket")
-            docs_in = part.count()
-            canonical = build_triples(part, dictionary, from_html=from_html)
-            out_path = os.path.join(self.data_dir, f"part={b}")
-            clustered = cluster_for_write(canonical, buckets=4)
-            clustered.write.mode("overwrite").parquet(out_path)
-            triples_out = self.spark.read.parquet(out_path).count()
-            failed = parse_errors(part, from_html=from_html).count()
+            docs_in = part.select("url").count()
+            parsed = parse_stage(part, from_html=from_html).persist()
+            try:
+                canonical = finish_triples(parsed, dictionary)
+                out_path = os.path.join(self.data_dir, f"part={b}")
+                clustered = cluster_for_write(canonical, buckets=4)
+                clustered.write.mode("overwrite").parquet(out_path)
+                failed = parsed.where(F.col("error").isNotNull()).count()
+                triples_out = self.spark.read.parquet(out_path).count()
+            finally:
+                parsed.unpersist()
             wall_ms = int((time.monotonic() - t0) * 1000)
             lineage = {
                 "input_partition": b,

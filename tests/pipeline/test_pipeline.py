@@ -54,6 +54,26 @@ def test_rerun_is_idempotent_noop(spark, pages, tmp_path):
     assert _normalized(p.read_output()) == first
 
 
+def test_bucket_loop_parses_once_per_bucket(spark, pages, tmp_path, monkeypatch):
+    """Plan regression: the bucket loop must build exactly one parse
+    plan per bucket (triples, error count and lineage all derive from
+    the one persisted parsed DataFrame — a second parse_pages call per
+    bucket doubles the dominant cost at scale)."""
+    import rdf_spark.plans.pipeline as pl
+
+    calls = []
+    real = pl.parse_pages
+
+    def counting(df, *a, **k):
+        calls.append(1)
+        return real(df, *a, **k)
+
+    monkeypatch.setattr(pl, "parse_pages", counting)
+    p = PipelineRun(spark, str(tmp_path / "once"), n_buckets=2, run_id="a")
+    p.run(pages)
+    assert len(calls) == 2
+
+
 def test_lineage_recorded(spark, tmp_path):
     noisy = generate_pages(spark, 40, seed=7, partitions=4, bad_fraction=0.3)
     p = PipelineRun(spark, str(tmp_path / "l"), n_buckets=2, run_id="a")
