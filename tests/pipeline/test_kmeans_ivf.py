@@ -45,6 +45,41 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.6, recall  # nprobe=1 coarse search
 
 
+def test_large_nlist_no_plan_blowup(emb):
+    """The broadcast-argmin assignment keeps plan size O(1) in k:
+    nlist=256 must build a tiny plan (the literal-inlining formulation
+    grew one Catalyst struct per centroid) and still agree with a
+    driver-side numpy argmin on every row."""
+    import numpy as np
+
+    cents = kmeans_fit(emb, k=256, iters=1)
+    out = kmeans_transform(emb, cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 20_000, len(plan)
+
+    C = np.asarray(cents)
+    rows = out.select("vec_id", "embedding", "centroid").collect()
+    for r in rows[:200]:
+        x = np.asarray(r["embedding"], dtype=np.float64)
+        d2 = ((x[None, :] - C) ** 2).sum(axis=1)
+        assert int(np.round(d2, 9).argmin()) == r["centroid"]
+
+
+def test_lsh_topk_construction_is_lazy(spark, emb):
+    """Building the LSH plan must trigger no Spark job (the old code
+    ran a driver-side .first() to discover the embedding dim)."""
+    from rdf_spark.operators.ann import lsh_topk
+
+    sc = spark.sparkContext
+    sc.setJobGroup("lsh-construct", "laziness check")
+    try:
+        df = lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=3, planes=4)
+        assert sc.statusTracker().getJobIdsForGroup("lsh-construct") == []
+    finally:
+        sc.setJobGroup(None, None)
+    assert df.count() >= 0  # and the plan still executes
+
+
 def test_ivf_exact_within_cluster(emb):
     """Within the query's own cluster the IVF result IS the exact
     top-k: verify one query against a manual within-cluster ranking."""
