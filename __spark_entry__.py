@@ -12,7 +12,7 @@ skew-safe aggregate, XSD datatypes, streaming ingest) plus the
 training-data operators (dedup, ANN, text analysis, multimodal).
 Spark results and DuckDB oracles share exact column names and value
 semantics (hashes via md5/sha256, floats rounded before comparison/
-ranking). Rows-only entries (simhash, ANN-LSH, pixel-stub resize,
+ranking). Rows-only entries (ANN-LSH, k-means IVF, pixel-stub resize,
 full pipeline) are genuinely non-SQL-expressible.
 """
 
@@ -678,8 +678,10 @@ def q_mm_decode_resize(spark, sf_dir):
                       F.sha2(F.col("pixels"), 256).alias("pixels_sha"))
 
 
-# rows-only (no SQL oracle): simhash majority voting + hamming bands
 def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (banded Hamming candidates). The md5
+    bit-vote construction is engine-portable; the DuckDB oracle
+    recomputes the identical signature from hex nibbles."""
     from rdf_spark.operators.dedup import simhash, simhash_near_dups
 
     d = _read(spark, sf_dir, "documents")
@@ -797,9 +799,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evt_hourly": q_evt_hourly,
         "tpch_q1_like": q_tpch_q1_like,
         "mm_features": q_mm_features,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
         # rows-only checks (non-SQL-expressible):
         "mm_decode_resize": q_mm_decode_resize,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
         "kg_pipeline": q_kg_pipeline,
@@ -1183,5 +1185,45 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha,
                    'text-feat-' || substr(sha256(text), 1, 16) AS feature
             FROM documents
+        """,
+        # SimHash recomputed from md5 hex nibbles: bit j of the 64-bit
+        # big-endian prefix lives in hex char 16 - j//4, nibble bit
+        # j%4; per-bit +1/-1 votes, strict-majority sets the bit; j=63
+        # wraps to the signed-long sign bit to match Arrow/Spark.
+        "doc_simhash_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                          x -> x != '')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id, md5(tok) AS hx FROM toks
+            ), bits AS (
+                SELECT doc_id, j,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                          substr(hx, 16 - (j // 4), 1)) - 1)
+                                  >> (j % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END AS v
+                FROM h, UNNEST(range(0, 64)) AS r(j)
+            ), votes AS (
+                SELECT doc_id, j, sum(v) AS sv FROM bits GROUP BY 1, 2
+            ), sigs AS (
+                SELECT d.doc_id,
+                       CAST(COALESCE(sum(CASE WHEN sv > 0 THEN
+                            CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                                 ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+                            ELSE 0 END), 0) AS BIGINT) AS simhash
+                FROM documents d LEFT JOIN votes ON d.doc_id = votes.doc_id
+                GROUP BY d.doc_id
+            ), bands AS (
+                SELECT doc_id, simhash, band,
+                       (simhash >> (band * 16)) & 65535 AS bucket
+                FROM sigs, UNNEST([0, 1, 2, 3]) AS b(band)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+            FROM bands a JOIN bands b USING (band, bucket)
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= 8
         """,
     }
