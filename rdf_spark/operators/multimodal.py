@@ -147,9 +147,11 @@ def decode_images(media: DataFrame, use_real_codec: bool = False) -> DataFrame:
 
 
 def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Nearest-neighbor resize over decoded pixel buffers — pure-Python
-    on the stubbed buffers (production: vectorized via numpy/PIL in the
-    same mapInPandas slot). Output schema fixed at (out_w, out_h)."""
+    """Nearest-neighbor resize over decoded pixel buffers — numpy fancy
+    indexing per image inside the same mapInPandas slot (the codec is
+    the stub; the index-mapping math is the real, vectorized path).
+    Output schema fixed at (out_w, out_h)."""
+    import numpy as np
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -159,16 +161,11 @@ def resize_images(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 pdf["channels"], pdf["pixels"],
             ):
                 w, h, c = int(w), int(h), int(c)
-                src_px = bytes(px)
-                out = bytearray(out_w * out_h * c)
-                for y in range(out_h):
-                    sy = min(y * h // out_h, h - 1)
-                    for x in range(out_w):
-                        sx = min(x * w // out_w, w - 1)
-                        si = (sy * w + sx) * c
-                        di = (y * out_w + x) * c
-                        out[di:di + c] = src_px[si:si + c]
-                rows.append((mid, out_w, out_h, c, bytes(out)))
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w, c)
+                ys = np.minimum(np.arange(out_h) * h // out_h, h - 1)
+                xs = np.minimum(np.arange(out_w) * w // out_w, w - 1)
+                out = np.ascontiguousarray(arr[ys][:, xs])
+                rows.append((mid, out_w, out_h, c, out.tobytes()))
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "channels", "pixels"]
             )

@@ -29,7 +29,16 @@ from __future__ import annotations
 from html.parser import HTMLParser
 from urllib.parse import urljoin
 
-from ..terms import RDF_TYPE, bnode, iri, literal
+from ..terms import RDF_TYPE, bnode, escape_literal_lex, iri, literal
+
+
+def _lit(lex: str, datatype=None, lang=None):
+    """Literal with the raw extracted text canonicalized to the NT-
+    escaped lexical form the grammar evaluators emit — HTML values
+    containing quotes/backslashes/newlines serialize to valid
+    N-Triples/Turtle and compare equal to the same literal parsed
+    from Turtle (see terms.escape_literal_lex)."""
+    return literal(escape_literal_lex(lex), datatype, lang)
 
 VOID_ELEMENTS = frozenset(
     "area base br col embed hr img input link meta param source track wbr".split()
@@ -192,14 +201,14 @@ def parse_rdfa(html: bytes | str, base: str = ""):
                     quads.append((subject, iri(pi), here, None))
             else:
                 if a.get("content") is not None:
-                    obj = literal(a["content"], None, lang or None)
-                elif obj_ref is not None and "resource" not in a and new_subject is None:
+                    obj = _lit(a["content"], None, lang or None)
+                elif obj_ref is not None and "resource" not in a:
                     obj = obj_ref
                 elif a.get("resource") is not None:
                     obj = resolve(a["resource"])
                 else:
                     dt = _rdfa_expand(a.get("datatype") or "", vocab, prefixes)
-                    obj = literal(node.text(), dt, None if dt else (lang or None))
+                    obj = _lit(node.text(), dt, None if dt else (lang or None))
                 for pi in preds:
                     quads.append((here, iri(pi), obj, None))
                 # a pure-literal property element does not change subject ctx
@@ -266,12 +275,12 @@ def parse_microdata(html: bytes | str, base: str = ""):
         if node.tag == "object" and a.get("data") is not None:
             return iri(urljoin(base, a["data"]) if base else a["data"])
         if node.tag == "meta" or a.get("content") is not None:
-            return literal(a.get("content") or "")
+            return _lit(a.get("content") or "")
         if node.tag in ("time",) and a.get("datetime") is not None:
-            return literal(a["datetime"])
+            return _lit(a["datetime"])
         if node.tag == "data" and a.get("value") is not None:
-            return literal(a["value"])
-        return literal(node.text())
+            return _lit(a["value"])
+        return _lit(node.text())
 
     def walk_props(node, subj, vocab):
         a = node.attrs

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 import json
 
-from ..terms import XSD_BOOLEAN, XSD_DOUBLE, XSD_INTEGER, XSD_STRING
+from ..terms import (
+    XSD_BOOLEAN,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    escape_literal_lex,
+)
 
 
 class JsonLdError(ValueError):
@@ -37,11 +43,12 @@ def _node_term(v, ctx, counter):
     if isinstance(v, float):
         return ("l", repr(v), XSD_DOUBLE, None), []
     if isinstance(v, str):
-        return ("l", v, None, None), []
+        return ("l", escape_literal_lex(v), None, None), []
     if isinstance(v, dict):
         if "@value" in v:
             val = v["@value"]
-            lex = val if isinstance(val, str) else json.dumps(val)
+            lex = (escape_literal_lex(val) if isinstance(val, str)
+                   else json.dumps(val))
             lang = v.get("@language")
             dt = v.get("@type")
             if lang:

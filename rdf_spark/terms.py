@@ -64,6 +64,38 @@ def literal(lex, datatype=None, lang=None):
     return ("l", lex, datatype, lang)
 
 
+def escape_literal_lex(s: str) -> str:
+    """Raw text -> the canonical NT-escaped lexical form the grammar
+    evaluators produce (grammar/turtle.py evaluate_string, E10 —
+    turtle/evaluate.go:256-340): `\\`, `\"`, `\\n`, `\\r`, `\\t` as
+    two-char escapes, other control chars and all non-ASCII up to
+    U+FFFF as ``\\uXXXX``, above as ``\\UXXXXXXXX``. Extraction
+    sources (HTML RDFa/Microdata, JSON-LD) apply this so their
+    literals compare/dedupe/serialize identically to the same value
+    parsed from Turtle/N-Triples."""
+    out = []
+    for ch in s:
+        if ch == "\\":
+            out.append("\\\\")
+        elif ch == '"':
+            out.append('\\"')
+        elif ch == "\n":
+            out.append("\\n")
+        elif ch == "\r":
+            out.append("\\r")
+        elif ch == "\t":
+            out.append("\\t")
+        else:
+            cp = ord(ch)
+            if cp <= 0x1F or 0x7F <= cp <= 0xFFFF:
+                out.append(f"\\u{cp:04X}")
+            elif cp > 0xFFFF:
+                out.append(f"\\U{cp:08X}")
+            else:
+                out.append(ch)
+    return "".join(out)
+
+
 def term_str(t) -> str:
     """Serialize a term exactly as the reference's ``String()`` methods."""
     k = t[0]

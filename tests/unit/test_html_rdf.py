@@ -109,7 +109,9 @@ def test_rdfa_content_attr_and_lang():
     )
     got = parse_rdfa(html, base=BASE)
     objs = {q[1][1].rsplit("/", 1)[1]: q[2] for q in got}
-    assert objs["name"] == ("l", "René", None, "fr")
+    # non-ASCII canonicalizes to \uXXXX, matching the Turtle
+    # evaluator's lexical convention (terms.escape_literal_lex)
+    assert objs["name"] == ("l", "Ren\\u00E9", None, "fr")
     assert objs["email"] == ("l", "r@x.fr", None, "fr")
 
 
@@ -165,3 +167,54 @@ def test_extract_blocks_detects_attribute_markup():
 
 def test_extract_blocks_plain_html_is_empty():
     assert extract_blocks_from_html("<html><body><p>hello</p></body></html>") == []
+
+
+def test_literal_escape_canonicalization_roundtrip():
+    """Extracted literals with quotes/backslashes/newlines must carry
+    the NT-escaped lexical form the grammar evaluators emit, so the
+    serialized triple re-parses to the same term (ADVICE r1, high)."""
+    from rdf_spark.grammar.ntriples import parse_document
+    from rdf_spark.terms import triple_str
+
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person" itemid="http://ex/a">'
+        '<span itemprop="name">He said "hi" \\ bye</span></div>'
+    )
+    got = parse_microdata(html, base=BASE)
+    lit = [q[2] for q in got if q[1] == ("i", "http://schema.org/name")][0]
+    assert lit == ("l", 'He said \\"hi\\" \\\\ bye', None, None)
+    # the emitted line is valid N-Triples and round-trips to the same term
+    line = triple_str((got[1][0], got[1][1], lit))
+    [(s, p, o)] = parse_document(line + "\n", validate=True)
+    assert o == lit
+
+
+def test_rdfa_content_attr_escaped_and_nonascii():
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/a">'
+        '<span property="name" content="a&quot;b&#10;c&#233;"></span></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    lit = [q[2] for q in got if q[1] == ("i", "http://schema.org/name")][0]
+    assert lit == ("l", 'a\\"b\\nc\\u00E9', None, None)
+
+
+def test_rdfa_about_property_href_links_iri():
+    """@about + @property + @href: the object is the href IRI, not the
+    element's text content (RDFa-lite; ADVICE r1)."""
+    html = (
+        '<div vocab="http://schema.org/" about="http://ex/a">'
+        '<a property="url" href="rel/x">click me</a></div>'
+    )
+    got = parse_rdfa(html, base=BASE)
+    objs = [q[2] for q in got if q[1] == ("i", "http://schema.org/url")]
+    assert objs == [("i", "http://crawl.example/rel/x")]
+
+
+def test_jsonld_string_literals_escaped():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = '{"@id": "http://ex/a", "http://ex/p": "say \\"hi\\"\\nplease"}'
+    got = parse_jsonld(doc)
+    lit = [q[2] for q in got if q[1] == ("i", "http://ex/p")][0]
+    assert lit == ("l", 'say \\"hi\\"\\nplease', None, None)
