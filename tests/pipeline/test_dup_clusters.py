@@ -22,3 +22,37 @@ def test_single_pair(spark):
 def test_empty_pairs(spark):
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")
     assert dup_clusters(pairs).count() == 0
+
+
+def test_deep_chain_converges_in_log_rounds(spark):
+    """Pointer doubling: a 100-deep path converges well within 8
+    rounds (min-propagation alone needs ~100)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in dup_clusters(pairs, max_iters=8).collect()}
+    assert got == {i: 0 for i in range(101)}
+
+
+def test_unconverged_raises(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    import pytest
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=1)
+
+
+def test_unconverged_warn_mode(spark):
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dup_clusters(pairs, max_iters=1, on_unconverged="warn")
+        assert out.count() == 101
+    assert any("did not converge" in str(x.message) for x in w)

@@ -1,0 +1,40 @@
+"""Oversized-LSH-bucket handling (dedup.lsh_candidate_pairs max_bucket)."""
+
+import sys
+sys.path.insert(0, "/root/repo")
+
+
+def test_max_bucket_star_pairs_same_components(spark):
+    from rdf_spark.operators.dedup import dup_clusters, lsh_candidate_pairs
+
+    # 30 identical docs -> identical signatures -> one bucket of 30;
+    # plus one distinct pair
+    rows = [(i, "aa", "aa", "bb", "bb") for i in range(30)]
+    rows += [(100, "zz", "zz", "yy", "yy"), (101, "zz", "zz", "yy", "yy")]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh_0 string, mh_1 string, mh_2 string, mh_3 string"
+    )
+    exact = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+    capped = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2, max_bucket=5)
+    # star output is linear, not quadratic
+    assert exact.count() == 30 * 29 // 2 + 1
+    assert capped.count() == 29 + 1
+    # identical connected components either way
+    a = {tuple(sorted((r["doc_id"], r["cluster_id"])))
+         for r in dup_clusters(exact).collect()}
+    b = {tuple(sorted((r["doc_id"], r["cluster_id"])))
+         for r in dup_clusters(capped).collect()}
+    assert {r for r in a} == {r for r in b}
+
+
+def test_max_bucket_small_buckets_exact(spark):
+    from rdf_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(1, "aa", "aa", "b1", "b1"), (2, "aa", "aa", "b2", "b2"),
+            (3, "cc", "cc", "b3", "b3")]
+    sigs = spark.createDataFrame(
+        rows, "doc_id long, mh_0 string, mh_1 string, mh_2 string, mh_3 string"
+    )
+    exact = sorted(map(tuple, lsh_candidate_pairs(sigs, num_hashes=4, band_size=2).collect()))
+    capped = sorted(map(tuple, lsh_candidate_pairs(sigs, num_hashes=4, band_size=2, max_bucket=10).collect()))
+    assert exact == capped == [(1, 2)]
