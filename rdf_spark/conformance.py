@@ -132,15 +132,39 @@ def replay_through_pipeline(spark) -> dict:
         st["emitted"] += len(mine)
         st["matched"] += m
 
+    # Which suites score against an INDEPENDENT golden vs the repo's
+    # own pure-Python parse (library parity — P/R 1.0 measures only
+    # that the distributed plumbing loses/invents nothing). Reported
+    # separately so the headline is not read as external validation.
+    golden_source = {
+        "turtle": "w3c_nt_golden",        # suite's own .nt result files
+        "ntriples": "library_parity",
+        "nquads": "library_parity",
+        "trig": "library_parity",
+    }
     out = {}
-    tot = {"docs": 0, "golden": 0, "emitted": 0, "matched": 0}
-    for suite, st in sorted(stats.items()):
+    totals = {
+        "overall": {"docs": 0, "golden": 0, "emitted": 0, "matched": 0},
+        "overall_external_golden": {"docs": 0, "golden": 0, "emitted": 0,
+                                    "matched": 0},
+        "overall_library_parity": {"docs": 0, "golden": 0, "emitted": 0,
+                                   "matched": 0},
+    }
+
+    def _pr(st):
         p = st["matched"] / st["emitted"] if st["emitted"] else 1.0
         r = st["matched"] / st["golden"] if st["golden"] else 1.0
-        out[suite] = {**st, "precision": round(p, 6), "recall": round(r, 6)}
-        for k in tot:
-            tot[k] += st[k]
-    p = tot["matched"] / tot["emitted"] if tot["emitted"] else 1.0
-    r = tot["matched"] / tot["golden"] if tot["golden"] else 1.0
-    out["overall"] = {**tot, "precision": round(p, 6), "recall": round(r, 6)}
+        return {**st, "precision": round(p, 6), "recall": round(r, 6)}
+
+    for suite, st in sorted(stats.items()):
+        src = golden_source.get(suite, "library_parity")
+        out[suite] = {**_pr(st), "golden_source": src}
+        buckets = ["overall",
+                   "overall_external_golden" if src == "w3c_nt_golden"
+                   else "overall_library_parity"]
+        for b in buckets:
+            for k in ("docs", "golden", "emitted", "matched"):
+                totals[b][k] += st[k]
+    for name, tot in totals.items():
+        out[name] = _pr(tot)
     return out
