@@ -295,6 +295,32 @@ def q_rdf_serialize_turtle(spark, sf_dir):
     return serialize_turtle(t, {"ex": EX}).select("subj", "value")
 
 
+def q_rdf_serialize_turtle_nested(spark, sf_dir):
+    """Nested Turtle pretty-printer (S9 structural form, reference
+    turtle/doc.go:849-858): single-use bnodes inline as [ ... ].
+    Per-document bnode labels are scoped first (scope_bnodes) since
+    the corpus merges many documents into one table."""
+    from rdf_spark.functions.serialize import scope_bnodes, serialize_turtle_nested
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex/> .\n"),
+        F.lit("ex:n"), F.col("n_nationkey").cast("string"),
+        F.lit(' ex:name "'), F.col("n_name"), F.lit('" ;\n'),
+        F.lit('  ex:addr [ ex:city "'), F.col("n_name"),
+        F.lit(' CITY" ; ex:zip "'), F.col("n_regionkey").cast("string"),
+        F.lit('" ] .\n'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/nest/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("turtle").alias("format"), text.alias("text"),
+    )
+    t = scope_bnodes(good_triples(parse_pages(pages)))
+    return serialize_turtle_nested(t, {"ex": EX}).select("subj", "value")
+
+
 def q_rdf_serialize_trig(spark, sf_dir):
     """TriG dataset pretty-printer: one graph section per region graph
     of the N-Quads corpus (SURVEY.md S9 dataset form)."""
@@ -773,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
+        "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
         "rdf_serialize_trig": q_rdf_serialize_trig,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
@@ -918,6 +945,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'ex:n' || n_nationkey AS subj,
                    'ex:n' || n_nationkey || ' a ex:Nation ;' || chr(10) ||
                    '  ex:inRegion ex:r' || n_regionkey || ' ;' || chr(10) ||
+                   '  ex:name "' || n_name || '" .' AS value
+            FROM nation
+        """,
+        "rdf_serialize_turtle_nested": """
+            SELECT 'ex:n' || n_nationkey AS subj,
+                   'ex:n' || n_nationkey ||
+                   ' ex:addr [ ex:city "' || n_name || ' CITY" ; ex:zip "' ||
+                   n_regionkey || '" ] ;' || chr(10) ||
                    '  ex:name "' || n_name || '" .' AS value
             FROM nation
         """,

@@ -125,6 +125,162 @@ def serialize_turtle(triples: DataFrame,
     )
 
 
+def scope_bnodes(triples: DataFrame, scope_col: str = "url") -> DataFrame:
+    """Make per-document blank-node labels globally unique before
+    merging documents into one graph: label -> md5(scope)[:8]_label.
+    Required before serialize_turtle / serialize_turtle_nested on a
+    multi-document table — RDF bnode labels are document-scoped, so
+    flattening without relabeling would merge distinct nodes (the
+    pipeline's skolemize() is the production form of this)."""
+    from ..terms import KIND_BNODE
+
+    tag = F.concat(F.substring(F.md5(F.col(scope_col)), 1, 8), F.lit("_"))
+    out = triples.withColumn(
+        "subj",
+        F.when(F.col("subj_kind") == KIND_BNODE,
+               F.concat(tag, F.col("subj"))).otherwise(F.col("subj")),
+    ).withColumn(
+        "obj_lex",
+        F.when(F.col("obj_kind") == KIND_BNODE,
+               F.concat(tag, F.col("obj_lex"))).otherwise(F.col("obj_lex")),
+    )
+    if "graph_kind" in triples.columns:
+        out = out.withColumn(
+            "graph",
+            F.when(F.col("graph_kind") == KIND_BNODE,
+                   F.concat(tag, F.col("graph"))).otherwise(F.col("graph")),
+        )
+    return out
+
+
+def serialize_turtle_nested(triples: DataFrame,
+                            prefixes: dict[str, str] | None = None,
+                            max_depth: int = 10) -> DataFrame:
+    """Pretty-printed Turtle with nested ``[ ... ]`` blocks (SURVEY.md
+    S9 structural form; reference turtle/doc.go:849-858 prints
+    single-use blank nodes inline as bnode property lists).
+
+    A blank node is inlined when it occurs exactly once as an object
+    and has at least one subject triple; inlining runs leaf-first so
+    chains nest recursively ([ ... [ ... ] ]). Blank nodes that are
+    multi-referenced, cyclic, or deeper than `max_depth` stay as
+    ``_:label`` blocks — still valid Turtle that re-parses to an equal
+    document (the round-trip contract, terms.documents_equal).
+
+    Bnode labels must be globally unique across the input (they are
+    document-scoped in RDF): run scope_bnodes()/skolemize() first when
+    the table merges multiple documents, or colliding labels from
+    different documents read as one multi-referenced node.
+
+    An export/debug sink: the leaf-at-a-time loop runs one small join
+    round per nesting level on the driver; route bulk exports through
+    serialize_ntriples."""
+    from ..terms import RDF_TYPE
+
+    prefixes = prefixes or {}
+    pred_str = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
+        _compact(F.col("pred"), prefixes)
+    )
+    obj_str = F.when(
+        F.col("obj_kind") == KIND_IRI, _compact(F.col("obj_lex"), prefixes)
+    ).otherwise(obj_expr())
+    cur = triples.select(
+        "subj_kind", "subj", pred_str.alias("p_str"),
+        "obj_kind", "obj_lex", obj_str.alias("o_str"),
+    ).localCheckpoint()
+
+    # bnode labels referenced exactly once as an object AND having a block
+    obj_once = (
+        cur.where(F.col("obj_kind") == KIND_BNODE)
+        .groupBy(F.col("obj_lex").alias("label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") == 1)
+        .select("label")
+    )
+    has_block = (
+        cur.where(F.col("subj_kind") == KIND_BNODE)
+        .select(F.col("subj").alias("label"))
+        .distinct()
+    )
+    pending = obj_once.join(has_block, "label").localCheckpoint()
+
+    for _ in range(max_depth):
+        if pending.isEmpty():
+            break
+        # leaves: pending bnodes whose own objects contain no pending bnode
+        bn = cur.where(F.col("subj_kind") == KIND_BNODE).select(
+            F.col("subj").alias("label"), "obj_kind", "obj_lex"
+        )
+        blocked = (
+            bn.join(pending, "label")
+            .where(F.col("obj_kind") == KIND_BNODE)
+            .join(pending.withColumnRenamed("label", "obj_lex"), "obj_lex")
+            .select("label")
+            .distinct()
+        )
+        leaves = pending.join(blocked, "label", "left_anti")
+        if leaves.isEmpty():
+            break  # only cycles remain; they keep _:label form
+        leaf_blocks = (
+            cur.join(leaves, (F.col("subj_kind") == KIND_BNODE)
+                     & (F.col("subj") == F.col("label")))
+            .groupBy("label")
+            .agg(F.sort_array(F.collect_list(
+                F.concat(F.col("p_str"), F.lit(" "), F.col("o_str"))
+            )).alias("pairs"))
+            .select(
+                "label",
+                F.concat(F.lit("[ "), F.array_join(F.col("pairs"), " ; "),
+                         F.lit(" ]")).alias("block"),
+            )
+        )
+        # drop the leaves' own triples (guarded on bnode kind so an IRI
+        # subject that happens to equal a label is untouched)
+        remaining = cur.join(
+            leaves.select(F.col("label").alias("subj"),
+                          F.lit(1).alias("__leaf")),
+            ["subj"], "left",
+        ).where(
+            (F.col("__leaf").isNull()) | (F.col("subj_kind") != KIND_BNODE)
+        ).drop("__leaf")
+        cur = (
+            remaining.join(
+                leaf_blocks.withColumnRenamed("label", "__blabel"),
+                (F.col("obj_kind") == KIND_BNODE)
+                & (F.col("obj_lex") == F.col("__blabel")),
+                "left",
+            )
+            .select(
+                "subj_kind", "subj", "p_str",
+                F.when(F.col("block").isNotNull(), F.lit(-1).cast("tinyint"))
+                .otherwise(F.col("obj_kind")).alias("obj_kind"),
+                "obj_lex",
+                F.coalesce(F.col("block"), F.col("o_str")).alias("o_str"),
+            )
+            .localCheckpoint()
+        )
+        pending = pending.join(leaves, "label", "left_anti").localCheckpoint()
+
+    subj_str = F.when(
+        F.col("subj_kind") == KIND_IRI, _compact(F.col("subj"), prefixes)
+    ).otherwise(term_expr(F.col("subj_kind"), F.col("subj")))
+    pairs = F.sort_array(
+        F.collect_list(F.concat(F.col("p_str"), F.lit(" "), F.col("o_str")))
+    )
+    return (
+        cur.groupBy(subj_str.alias("subj"))
+        .agg(pairs.alias("pairs"))
+        .select(
+            "subj",
+            F.concat(
+                F.col("subj"), F.lit(" "),
+                F.array_join(F.col("pairs"), " ;\n  "),
+                F.lit(" ."),
+            ).alias("value"),
+        )
+    )
+
+
 def serialize_trig(quads: DataFrame,
                    prefixes: dict[str, str] | None = None) -> DataFrame:
     """Pretty-printed TriG sink (S9 dataset form): per-graph sections —

@@ -106,3 +106,68 @@ def test_iri_is_valid(spark):
            df.select("ref", iri_is_valid(F.col("ref")).alias("v")).collect()}
     for ref, want in cases:
         assert got[ref] is want, ref
+
+
+TTL_NESTED = """@prefix ex: <http://ex/> .
+ex:a ex:p [ ex:q [ ex:r "deep" ] ; ex:s "mid" ] ; ex:name "top" .
+ex:b ex:p _:shared .
+ex:c ex:p _:shared .
+_:shared ex:q "multi" .
+"""
+
+
+def _parse_pages_df(spark, text):
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    pages = spark.createDataFrame(
+        [("http://u/1", "turtle", text)], "url string, format string, text string"
+    )
+    return good_triples(parse_pages(pages))
+
+
+def test_nested_bnode_property_lists(spark):
+    """Single-use bnodes inline as [ ... ] (recursively); multi-use
+    bnodes keep their _:label blocks."""
+    from rdf_spark.functions.serialize import serialize_turtle_nested
+
+    t = _parse_pages_df(spark, TTL_NESTED)
+    out = {r["subj"]: r["value"] for r in
+           serialize_turtle_nested(t, {"ex": "http://ex/"}).collect()}
+    a = out["ex:a"]
+    assert a.count("[ ") == 2 and a.count(" ]") == 2     # two nesting levels
+    assert 'ex:r "deep"' in a and 'ex:s "mid"' in a
+    assert "_:" not in a                                  # fully inlined
+    shared = [v for s, v in out.items() if s.startswith("_:")]
+    assert len(shared) == 1 and 'ex:q "multi"' in shared[0]
+
+
+def test_nested_roundtrip_documents_equal(spark):
+    """The pretty output re-parses to an equal document (reference
+    Document.Equal semantics, terms.documents_equal)."""
+    from rdf_spark.functions.serialize import prefix_header, serialize_turtle_nested
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+    from rdf_spark.terms import documents_equal, sort_document
+
+    t = _parse_pages_df(spark, TTL_NESTED)
+    blocks = [r["value"] for r in
+              serialize_turtle_nested(t, {"ex": "http://ex/"}).collect()]
+    doc = "\n".join(prefix_header({"ex": "http://ex/"}) + sorted(blocks)) + "\n"
+    got = sort_document(parse_and_evaluate(doc, "http://u/1"))
+    want = sort_document(parse_and_evaluate(TTL_NESTED, "http://u/1"))
+    assert documents_equal(want, got)
+
+
+def test_nested_cycle_falls_back_to_labels(spark):
+    """A bnode cycle can't inline; both nodes keep _:label blocks and
+    the output still round-trips."""
+    from rdf_spark.functions.serialize import serialize_turtle_nested
+
+    rows = [
+        (1, "x", "http://ex/p", 1, "y", None, None),
+        (1, "y", "http://ex/p", 1, "x", None, None),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    out = {r["subj"]: r["value"] for r in
+           serialize_turtle_nested(t, {"ex": "http://ex/"}).collect()}
+    assert set(out) == {"_:x", "_:y"}
+    assert out["_:x"] == "_:x ex:p _:y ."
