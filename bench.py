@@ -196,15 +196,21 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # best-of-2 on the two headline measurements: single runs on this
-    # host vary up to 3x from CPU-steal bursts (see BENCH.md Variance)
-    (s1, n_triples), (s2, _) = bench_kg_pipeline(spark, pages), bench_kg_pipeline(spark, pages)
-    sec = min(s1, s2)
+    # best-of-N everywhere: single runs on this host vary up to 3x
+    # from CPU-steal bursts (see BENCH.md Variance), so round-over-
+    # round comparisons need the minimum of several reps.
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
+    query_reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "2"))
+
+    runs = [bench_kg_pipeline(spark, pages) for _ in range(reps)]
+    n_triples = runs[0][1]
+    sec = min(s for s, _ in runs)
     queries["kg_pipeline"] = round(sec, 3)
     pipeline_tps = n_triples / sec if sec > 0 else 0.0
 
-    (s1, n_parsed), (s2, _) = bench_parse_only(spark, pages), bench_parse_only(spark, pages)
-    sec = min(s1, s2)
+    runs = [bench_parse_only(spark, pages) for _ in range(reps)]
+    n_parsed = runs[0][1]
+    sec = min(s for s, _ in runs)
     queries["parse_all"] = round(sec, 3)
     parse_tps = n_parsed / sec if sec > 0 else 0.0
 
@@ -218,7 +224,9 @@ def main() -> None:
         "tpch_q1_like",
         "evt_hourly",
     ):
-        queries[name] = round(bench_query(q[name], spark), 3)
+        queries[name] = round(
+            min(bench_query(q[name], spark) for _ in range(query_reps)), 3
+        )
 
     total = round(sum(queries.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -236,6 +244,7 @@ def main() -> None:
         "pipeline_triples_out": n_triples,
         "pipeline_triples_per_sec": round(pipeline_tps, 1),
         "parse_triples_per_sec": round(parse_tps, 1),
+        "reps": {"headline": reps, "per_query": query_reps, "stat": "min"},
     }))
     spark.stop()
 
