@@ -42,9 +42,33 @@ def main() -> None:
         "suite_entry_counts": kernel_tallies(),
         "pipeline_replay": replay_through_pipeline(spark),
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "CONFORMANCE.json")
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = os.path.join(here, "CONFORMANCE.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
+
+    # W3C-publishable EARL/DOAP document for the same suite runs
+    from rdf_spark.earl import earl_report_text
+
+    earl_text = earl_report_text(
+        spark,
+        project={
+            "iri": "https://example.org/rdf-spark",
+            "name": "rdf-spark",
+            "description": "PySpark-native RDF/KG construction engine",
+            "implements": [
+                "http://www.w3.org/TR/turtle/",
+                "http://www.w3.org/TR/trig/",
+                "http://www.w3.org/TR/n-triples/",
+                "http://www.w3.org/TR/n-quads/",
+            ],
+        },
+        developer={"iri": "https://example.org/rdf-spark/dev", "name": "rdf-spark"},
+        date="2026-08-17+00:00",
+    )
+    with open(os.path.join(here, "EARL.ttl"), "w") as f:
+        f.write(earl_text)
+
     print(json.dumps(report["pipeline_replay"]["overall"]))
     spark.stop()
 
