@@ -119,6 +119,12 @@ _STRING_LSQ_RE = re.compile(
     rf"'''((?:(?:''|')?(?:[^'\\]|{_ECHAR}|{_UCHAR}))*)'''", re.DOTALL
 )
 
+# evaluator fast paths: inputs whose canonicalization is the identity
+# (printable ASCII; no backslash; no '.' for PN_LOCAL / no '"' for
+# string bodies) skip the per-char escape loops in Context
+_SIMPLE_LOCAL_RE = re.compile(r"[\x20-\x2D\x2F-\x5B\x5D-\x7E]*\Z")
+_PLAIN_LEX_RE = re.compile(r"[\x20-\x21\x23-\x5B\x5D-\x7E]*\Z")
+
 _OWS_RE = re.compile(r"[ \t]*")
 # WSPLNC ::= (Whitespace | EndOfLine | Comment)*
 _WSPLNC_RE = re.compile(r"(?:[ \t\r\n]+|#[^\r\n]*)*")
@@ -165,8 +171,10 @@ class _Parser:
         self.i = m.end()
 
     def _wsplnc(self):
-        m = _WSPLNC_RE.match(self.s, self.i)
-        self.i = m.end()
+        # cheap guard: the regex only consumes whitespace/comments
+        c = self.s[self.i: self.i + 1]
+        if c == " " or c == "\n" or c == "\t" or c == "\r" or c == "#":
+            self.i = _WSPLNC_RE.match(self.s, self.i).end()
 
     def fail(self, what: str):
         frag = self.s[self.i : self.i + 32]
@@ -277,9 +285,13 @@ class _Parser:
         return self.try_collection()
 
     def try_iri(self):
-        m = self._rx(_IRIREF_RE)
-        if m is not None:
-            return ("iri", m.group(1), False)
+        # '<' can only start an IRIREF and never a prefixed name, so
+        # exactly one regex runs per attempt
+        if self.s[self.i: self.i + 1] == "<":
+            m = self._rx(_IRIREF_RE)
+            if m is not None:
+                return ("iri", m.group(1), False)
+            return None
         m = self._rx(_PREFIXED_NAME_RE)
         if m is not None:
             return ("iri", m.group(0), True)
@@ -403,34 +415,42 @@ class _Parser:
         return None
 
     def try_literal(self):
-        # RDFLiteral first, then numeric (Double > Decimal > Integer), boolean
-        t = self.try_rdf_literal()
-        if t is not None:
-            return t
-        m = self._rx(_DOUBLE_RE)
-        if m is not None:
-            return ("num", m.group(0), "double")
-        m = self._rx(_DECIMAL_RE)
-        if m is not None:
-            return ("num", m.group(0), "decimal")
-        m = self._rx(_INTEGER_RE)
-        if m is not None:
-            return ("num", m.group(0), "integer")
-        m = self._rx(_BOOLEAN_RE)
-        if m is not None:
-            return ("bool", m.group(0))
+        # RDFLiteral first, then numeric (Double > Decimal > Integer),
+        # boolean. First-char guards skip regex attempts that cannot
+        # match (hot path; the guarded regexes only match these chars).
+        c = self.s[self.i: self.i + 1]
+        if c == '"' or c == "'":
+            return self.try_rdf_literal()
+        if c in "+-.0123456789":
+            m = self._rx(_DOUBLE_RE)
+            if m is not None:
+                return ("num", m.group(0), "double")
+            m = self._rx(_DECIMAL_RE)
+            if m is not None:
+                return ("num", m.group(0), "decimal")
+            m = self._rx(_INTEGER_RE)
+            if m is not None:
+                return ("num", m.group(0), "integer")
+            return None
+        if c == "t" or c == "f":
+            m = self._rx(_BOOLEAN_RE)
+            if m is not None:
+                return ("bool", m.group(0))
         return None
 
     def try_rdf_literal(self):
-        # String order per grammar: LSQ | LQ | DQ | SQ
+        # String order per grammar: LSQ | LQ | DQ | SQ; dispatch on the
+        # quote kind first so each attempt runs at most two regexes
         multiline = True
-        m = self._rx(_STRING_LSQ_RE)
-        if m is None:
+        if self.s[self.i: self.i + 1] == '"':
             m = self._rx(_STRING_LQ_RE)
-        if m is None:
-            multiline = False
-            m = self._rx(_STRING_DQ_RE)
             if m is None:
+                multiline = False
+                m = self._rx(_STRING_DQ_RE)
+        else:
+            m = self._rx(_STRING_LSQ_RE)
+            if m is None:
+                multiline = False
                 m = self._rx(_STRING_SQ_RE)
         if m is None:
             return None
@@ -501,6 +521,10 @@ class Context:
         prefix = self.prefixes.get(prefix_key)
         if prefix is None:
             raise RDFEvalError(f"prefix {prefix_key!r} not defined")
+        # fast path: printable-ASCII local with no '\' and no '.' is
+        # emitted verbatim by the loop below (hot: most locals)
+        if _SIMPLE_LOCAL_RE.match(local) is not None:
+            return ("i", prefix + local)
         out = []
         escaped = False
         for c in local:
@@ -522,6 +546,14 @@ class Context:
     # E10: string literal escape canonicalization (turtle/evaluate.go:256-340)
     def evaluate_string(self, node):
         _, v, multiline, lang, dt = node
+        # fast path: printable-ASCII with no '\' and no '"' is its own
+        # canonical form — every transform below is an identity on it
+        if _PLAIN_LEX_RE.match(v) is not None:
+            if lang:
+                return ("l", v, None, lang)
+            if dt is not None:
+                return ("l", v, self.evaluate_iri(dt)[1], None)
+            return ("l", v, None, None)
         if multiline:
             v = v.replace("\n", "\\n").replace("\r", "\\r").replace('\\"', '"')
         v = v.replace('"', '\\"').replace("\t", "\\t")
