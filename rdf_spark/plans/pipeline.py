@@ -39,15 +39,20 @@ from ..operators.skolemize import skolemize
 from ..sources.extract import extract_pages
 
 
-def parse_stage(pages: DataFrame, from_html: bool = True) -> DataFrame:
+def parse_stage(pages: DataFrame, from_html: bool = True,
+                text_format: str = "turtle") -> DataFrame:
     """pages -> parsed rows (good triples AND errors-as-rows; lazy).
     The single expensive stage: extract + grammar parse. Everything
     downstream (triple build, error accounting) derives from this one
-    DataFrame so the parse runs once per bucket."""
+    DataFrame so the parse runs once per bucket. ``text_format`` names
+    the syntax of the ``text`` column when not extracting from HTML; a
+    ``format`` column on the input overrides it per row."""
     if from_html:
         blocks = extract_pages(pages)
+    elif "format" in pages.columns:
+        blocks = pages.select("url", "format", "text")
     else:
-        blocks = pages.select("url", F.lit("turtle").alias("format"), "text")
+        blocks = pages.select("url", F.lit(text_format).alias("format"), "text")
     return parse_pages(blocks)
 
 
@@ -64,13 +69,15 @@ def build_triples(
     pages: DataFrame,
     dictionary: DataFrame | None = None,
     from_html: bool = True,
+    text_format: str = "turtle",
 ) -> DataFrame:
     """The logical plan pages -> canonical triples (lazy; no actions)."""
-    return finish_triples(parse_stage(pages, from_html), dictionary)
+    return finish_triples(parse_stage(pages, from_html, text_format), dictionary)
 
 
-def parse_errors(pages: DataFrame, from_html: bool = True) -> DataFrame:
-    parsed = parse_stage(pages, from_html)
+def parse_errors(pages: DataFrame, from_html: bool = True,
+                 text_format: str = "turtle") -> DataFrame:
+    parsed = parse_stage(pages, from_html, text_format)
     return parsed.where(F.col("error").isNotNull()).select("url", "error")
 
 
@@ -98,7 +105,8 @@ class PipelineRun:
         }
 
     def run(self, pages: DataFrame, dictionary: DataFrame | None = None,
-            from_html: bool = True, fail_after_bucket: int | None = None) -> dict:
+            from_html: bool = True, fail_after_bucket: int | None = None,
+            text_format: str = "turtle") -> dict:
         """Process all buckets not yet in the watermark table.
         `fail_after_bucket` injects a crash for the resume test."""
         done = self.completed_buckets()
@@ -119,7 +127,8 @@ class PipelineRun:
             t0 = time.monotonic()
             part = bucketed.where(F.col("__bucket") == b).drop("__bucket")
             docs_in = part.select("url").count()
-            parsed = parse_stage(part, from_html=from_html).persist()
+            parsed = parse_stage(part, from_html=from_html,
+                                 text_format=text_format).persist()
             try:
                 canonical = finish_triples(parsed, dictionary)
                 out_path = os.path.join(self.data_dir, f"part={b}")

@@ -41,13 +41,14 @@ def stream_pages(spark: SparkSession, input_dir: str,
 
 
 def stream_triples(pages: DataFrame, dictionary: DataFrame | None = None,
-                   from_html: bool = True) -> DataFrame:
+                   from_html: bool = True,
+                   text_format: str = "turtle") -> DataFrame:
     """pages stream -> triples stream (stateless: parse + skolemize +
     link; parse errors kept as rows with ``error`` set)."""
     from pyspark.sql import functions as F
 
     blocks = extract_pages(pages) if from_html else pages.select(
-        "url", F.lit("turtle").alias("format"), "text"
+        "url", F.lit(text_format).alias("format"), "text"
     )
     triples = parse_pages(blocks)
     triples = skolemize(triples)

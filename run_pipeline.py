@@ -51,7 +51,8 @@ def main(argv: list[str] | None = None) -> int:
     )
     run = PipelineRun(spark, args.output, n_buckets=args.buckets,
                       run_id=args.run_id)
-    stats = run.run(pages, dictionary=dictionary, from_html=args.from_html)
+    stats = run.run(pages, dictionary=dictionary, from_html=args.from_html,
+                    text_format=args.text_format)
     print(json.dumps({
         "processed_buckets": stats["processed"],
         "skipped_buckets": stats["skipped"],
