@@ -12,8 +12,8 @@ skew-safe aggregate, XSD datatypes, streaming ingest) plus the
 training-data operators (dedup, ANN, text analysis, multimodal).
 Spark results and DuckDB oracles share exact column names and value
 semantics (hashes via md5/sha256, floats rounded before comparison/
-ranking). Rows-only entries (ANN-LSH, k-means IVF, pixel-stub resize,
-full pipeline) are genuinely non-SQL-expressible.
+ranking). Rows-only entries (k-means IVF, pixel-stub resize, full
+pipeline) are genuinely non-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -726,11 +726,16 @@ def q_emb_ivf_kmeans_topk(spark, sf_dir):
 
 
 def q_emb_lsh_topk(spark, sf_dir):
+    """Random-hyperplane LSH ANN. The md5-derived hyperplane weights
+    are engine-portable, so the DuckDB oracle recomputes the identical
+    signatures and bucket join."""
     from rdf_spark.operators.ann import lsh_topk
 
     e = _read(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return lsh_topk(e, q, k=3, planes=4)
+    return lsh_topk(e, q, k=3, planes=4).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def q_kg_pipeline(spark, sf_dir):
@@ -827,9 +832,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1_like": q_tpch_q1_like,
         "mm_features": q_mm_features,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
         # rows-only checks (non-SQL-expressible):
         "mm_decode_resize": q_mm_decode_resize,
-        "emb_lsh_topk": q_emb_lsh_topk,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
         "kg_pipeline": q_kg_pipeline,
     }
@@ -1260,5 +1265,48 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b USING (band, bucket)
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        # LSH signatures recomputed in SQL: hyperplane weight w[p][j] =
+        # (int(md5(p|'|'|j)[:8 hex]) % 2001 - 1000)/1000, sign of the
+        # dot product per plane, exact-bucket join, cosine top-3.
+        "emb_lsh_topk": r"""
+            WITH dims AS (
+                SELECT unnest(range((SELECT max(len(embedding))
+                                     FROM embeddings))) AS j
+            ), w AS (
+                SELECT pl.plane, dims.j,
+                       ((CAST(list_sum(list_transform(range(8), i ->
+                           (strpos('0123456789abcdef',
+                                   substr(md5(pl.plane || '|' || dims.j),
+                                          i + 1, 1)) - 1)
+                           * power(16, 7 - i))) AS BIGINT)) % 2001 - 1000)
+                       / 1000.0 AS wt
+                FROM (SELECT unnest(range(4)) AS plane) pl, dims
+            ), vecdims AS (
+                SELECT vec_id, s.j - 1 AS j, embedding[s.j] AS val
+                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS s(j)
+            ), dots AS (
+                SELECT v.vec_id, w.plane, sum(v.val * w.wt) AS dot
+                FROM vecdims v JOIN w ON w.j = v.j
+                GROUP BY 1, 2
+            ), sigs AS (
+                SELECT d.vec_id, e.embedding,
+                       string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                                  '' ORDER BY plane) AS bucket
+                FROM dots d JOIN embeddings e ON e.vec_id = d.vec_id
+                GROUP BY d.vec_id, e.embedding
+            ), scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos
+                FROM sigs q JOIN sigs c
+                  ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+                WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
     }
