@@ -740,8 +740,9 @@ def q_emb_lsh_topk(spark, sf_dir):
 
 def q_kg_pipeline(spark, sf_dir):
     """Full KG construction over synthesized pages: parse -> skolemize
-    -> link -> canonical dedupe (rows-only check: the per-stage oracles
-    above cover each component exactly)."""
+    -> link -> canonical dedupe. Oracle-checked end-to-end on the
+    deterministic canonical columns (approx_sources is an HLL estimate
+    and engine-specific, so it is excluded from the contract)."""
     from rdf_spark.operators.canonical import canonicalize
     from rdf_spark.operators.link import link_entities
     from rdf_spark.operators.parse import good_triples, parse_pages
@@ -755,7 +756,10 @@ def q_kg_pipeline(spark, sf_dir):
     )
     t = skolemize(good_triples(parse_pages(pages)))
     t = link_entities(t, dictionary)
-    return canonicalize(t)
+    return canonicalize(t).select(
+        "subj", "pred", "obj_lex",
+        F.col("support").cast("long").alias("support"), "first_url",
+    )
 
 
 def q_kg_streaming(spark, sf_dir):
@@ -833,10 +837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": q_mm_features,
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "emb_lsh_topk": q_emb_lsh_topk,
+        "kg_pipeline": q_kg_pipeline,
         # rows-only checks (non-SQL-expressible):
         "mm_decode_resize": q_mm_decode_resize,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
-        "kg_pipeline": q_kg_pipeline,
     }
 
 
@@ -1308,5 +1312,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        # end-to-end pipeline: parse (nation Turtle) -> skolemize
+        # (no-op: corpus has no bnodes) -> entity link (region surface
+        # -> kg IRI) -> canonical dedupe with provenance
+        "kg_pipeline": f"""
+            WITH t AS (
+                SELECT 'http://crawl.example/nation/' || n_nationkey AS url,
+                       'http://ex/n' || n_nationkey AS subj,
+                       '{RDF_TYPE}' AS pred,
+                       'http://ex/Nation' AS obj_lex
+                FROM nation
+                UNION ALL
+                SELECT 'http://crawl.example/nation/' || n_nationkey,
+                       'http://ex/n' || n_nationkey, 'http://ex/name', n_name
+                FROM nation
+                UNION ALL
+                SELECT 'http://crawl.example/nation/' || n_nationkey,
+                       'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                       'http://kg.example/region/' || n_regionkey
+                FROM nation
+            )
+            SELECT subj, pred, obj_lex,
+                   CAST(count(*) AS BIGINT) AS support,
+                   min(url) AS first_url
+            FROM t GROUP BY 1, 2, 3
         """,
     }
