@@ -570,6 +570,44 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_doc_repetition(spark, sf_dir):
+    """Intra-document repeated-3-gram ratio (Gopher-style quality
+    signal); pure SQL expression."""
+    from rdf_spark.functions.text import repetition_ratio
+
+    d = _read(spark, sf_dir, "documents")
+    return d.select("doc_id", repetition_ratio(F.col("text")).alias("rep_ratio"))
+
+
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language sampling via an md5-derived uniform
+    hash — reproducible across runs/engines (map-only, no RNG)."""
+    from rdf_spark.operators.curation import stratified_sample
+
+    d = _read(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.2}, default_fraction=0.1
+    ).select("doc_id", "lang")
+
+
+def q_doc_remove_boilerplate(spark, sf_dir):
+    """CCNet-style boilerplate removal over a synthesized multi-line
+    corpus: lines shared across >= 2 documents (cookie banner, footer,
+    per-segment template) are dropped; unique lines keep their order."""
+    from rdf_spark.operators.curation import remove_boilerplate
+
+    c = _read(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("COOKIE NOTICE ACCEPT ALL\n"),
+        F.lit("about customer "), F.col("c_custkey").cast("string"), F.lit("\n"),
+        F.lit("segment "), F.col("c_mktsegment"), F.lit(" member\n"),
+        F.lit("name "), F.col("c_name"), F.lit("\n"),
+        F.lit("SITE FOOTER NAV"),
+    )
+    docs = c.select(F.col("c_custkey").alias("doc_id"), text.alias("text"))
+    return remove_boilerplate(docs, min_docs=2)
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     from rdf_spark.operators.dedup import exact_dedup_groups
 
@@ -825,6 +863,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_repetition": q_doc_repetition,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_remove_boilerplate": q_doc_remove_boilerplate,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
@@ -1107,6 +1148,40 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_transform(range(greatest(len(t) - 2, 0)), i ->
+                           t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]) AS g
+                FROM toks
+            )
+            SELECT doc_id,
+                   round(CASE WHEN len(g) > 0
+                         THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
+                         ELSE 0.0 END, 4) AS rep_ratio
+            FROM grams
+        """,
+        "doc_stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST(list_sum(list_transform(range(8), i ->
+                      (strpos('0123456789abcdef',
+                              substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+                      * power(16, 7 - i))) AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 5000
+                              WHEN 'de' THEN 2000
+                              ELSE 1000 END
+        """,
+        "doc_remove_boilerplate": """
+            SELECT c_custkey AS doc_id,
+                   'about customer ' || c_custkey || chr(10) ||
+                   'name ' || c_name AS text
+            FROM customer
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,

@@ -89,3 +89,30 @@ def fingerprint(text: Column) -> Column:
     whitespace-collapsed text (near-dup-resistant to spacing/case)."""
     normalized = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
     return F.md5(normalized)
+
+
+def ngrams(text: Column, n: int = 3) -> Column:
+    """All word n-grams (NOT deduplicated), casefolded — the
+    denominator for repetition scoring. Built by zipping the token
+    array with its shifted slices (one concat per position)."""
+    t = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+    acc = t
+    for k in range(1, n):
+        shifted = F.slice(t, k + 1, F.greatest(F.size(t) - k, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.slice(acc, 1, F.greatest(F.size(t) - (n - 1), F.lit(0)))
+
+
+def repetition_ratio(text: Column, n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total, 4dp
+    (0.0 when the doc has fewer than n tokens). A Gopher-style
+    quality signal — high values flag templated/spammy documents.
+    Pure SQL expression, whole-stage codegen."""
+    g = ngrams(text, n)
+    return F.round(
+        F.when(
+            F.size(g) > 0,
+            1.0 - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )

@@ -1,0 +1,109 @@
+"""Training-data curation operators: corpus-level boilerplate
+removal, deterministic stratified sampling.
+
+These are the corpus-shaping steps of a web-scale LLM-data pipeline
+(no reference counterpart — the reference is an RDF library; these
+extend the documents/table side of SURVEY.md §6):
+
+- boilerplate removal (CCNet-style): a line that repeats across many
+  documents (navigation, cookie banners, footers) is template, not
+  content. One explode + one aggregate to find them; one hash join to
+  drop them. Never materializes a document set per line.
+- stratified sampling: deterministic per-stratum rates via an
+  md5-derived uniform hash — reproducible across runs AND engines
+  (the DuckDB oracle recomputes the same hash), map-only (no shuffle,
+  no RNG state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, line) — trimmed, empty lines dropped, document
+    order preserved via pos."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        )
+        .withColumn("line", F.trim(F.col("line")))
+        .where(F.col("line") != "")
+    )
+
+
+def line_doc_frequencies(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """(line, n_docs): in how many distinct documents each non-empty
+    trimmed line occurs. One explode + one aggregate; the per-line
+    state is a count, never a document list."""
+    return (
+        _lines(docs, id_col, text_col)
+        .select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def boilerplate_lines(docs: DataFrame, min_docs: int = 2,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Lines occurring in >= min_docs distinct documents — the
+    template/boilerplate candidate set."""
+    return line_doc_frequencies(docs, id_col, text_col).where(
+        F.col("n_docs") >= min_docs
+    )
+
+
+def remove_boilerplate(docs: DataFrame, min_docs: int = 2,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """(doc_id, text): documents with boilerplate lines removed,
+    remaining lines in original order. The line->boilerplate check is
+    an equi-join on the line string (shuffle on the line key, same
+    partitioning the frequency aggregate already produced); the
+    re-assembly is one groupBy(doc_id) with an order-preserving
+    array_sort on (pos, line) structs."""
+    bp = boilerplate_lines(docs, min_docs, id_col, text_col).select("line")
+    kept = _lines(docs, id_col, text_col).join(bp, "line", "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+
+
+def stratum_hash(id_col: Column) -> Column:
+    """Uniform [0, 10000) bucket from md5 of the id — engine-portable
+    (DuckDB computes the identical value) and deterministic."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10000
+    )
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      id_col: str = "doc_id",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff
+    hash(id) % 10000 < fraction[stratum] * 10000. Map-only — no
+    shuffle, no RNG, reproducible across runs, engines and retries
+    (the property a resumable 100 TB curation job needs: a re-run
+    samples the same rows)."""
+    frac = F.lit(float(default_fraction))
+    for k, v in sorted(fractions.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.where(stratum_hash(F.col(id_col)) < frac * 10000)
