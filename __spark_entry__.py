@@ -688,6 +688,15 @@ def q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def q_evt_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity gap) over the
+    events stream, batch form — one shuffle on the user key."""
+    from rdf_spark.streaming.sessions import session_summaries
+
+    e = _read(spark, sf_dir, "events")
+    return session_summaries(e, gap_minutes=30)
+
+
 def q_evt_hourly(spark, sf_dir):
     e = _read(spark, sf_dir, "events")
     return e.groupBy(
@@ -873,6 +882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_ivf_topk": q_emb_ivf_topk,
+        "evt_sessions": q_evt_sessions,
         "evt_hourly": q_evt_hourly,
         "tpch_q1_like": q_tpch_q1_like,
         "mm_features": q_mm_features,
@@ -1284,6 +1294,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "evt_sessions": """
+            WITH numbered AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                                 - CAST(floor(epoch(lag(ts) OVER
+                                       (PARTITION BY user_id ORDER BY ts)))
+                                        AS BIGINT) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ), sess AS (
+                SELECT user_id, ts, value,
+                       sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS s
+                FROM numbered
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM sess GROUP BY user_id, s
         """,
         "evt_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
