@@ -252,6 +252,31 @@ def q_rdf_triple_pattern(spark, sf_dir):
     return find_all(t, pred=EX + "name").select("subj", "obj_lex")
 
 
+def q_rdf_bgp_match(spark, sf_dir):
+    """SPARQL-style basic graph pattern over the nation KG:
+    { ?n ex:inRegion ?r . ?n ex:name ?name } -> bindings."""
+    from rdf_spark.operators.graphops import bgp_match
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return bgp_match(t, [("?n", EX + "inRegion", "?r"),
+                         ("?n", EX + "name", "?name")])
+
+
+def q_rdf_khop(spark, sf_dir):
+    """Bounded BFS: entities reachable in <= 2 hops from every fifth
+    nation along IRI-object edges, with minimum hop count."""
+    from rdf_spark.operators.graphops import khop_neighbors
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    n = _read(spark, sf_dir, "nation")
+    start = n.where(F.col("n_nationkey") % 5 == 0).select(
+        F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("subj")
+    )
+    return khop_neighbors(t, start, k=2).select(
+        "entity", F.col("hops").cast("int").alias("hops")
+    )
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -851,6 +876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_triple_pattern": q_rdf_triple_pattern,
+        "rdf_bgp_match": q_rdf_bgp_match,
+        "rdf_khop": q_rdf_khop,
         "rdf_group_by_graph": q_rdf_group_by_graph,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
@@ -977,6 +1004,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rdf_triple_pattern": """
             SELECT 'http://ex/n' || n_nationkey AS subj, n_name AS obj_lex FROM nation
+        """,
+        "rdf_bgp_match": """
+            SELECT 'http://ex/n' || n_nationkey AS n,
+                   'http://ex/r' || n_regionkey AS r,
+                   n_name AS name
+            FROM nation
+        """,
+        "rdf_khop": """
+            SELECT 'http://ex/n' || n_nationkey AS entity, CAST(0 AS INT) AS hops
+            FROM nation WHERE n_nationkey % 5 = 0
+            UNION
+            SELECT DISTINCT 'http://ex/r' || n_regionkey, 1
+            FROM nation WHERE n_nationkey % 5 = 0
+            UNION
+            SELECT DISTINCT 'http://ex/Nation', 1
+            FROM nation WHERE n_nationkey % 5 = 0
         """,
         "rdf_group_by_graph": """
             SELECT 'http://ex/region/' || n_regionkey AS graph,

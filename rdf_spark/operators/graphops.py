@@ -64,3 +64,95 @@ def predicate_object_map(triples: DataFrame) -> DataFrame:
     return triples.groupBy("subj").agg(
         F.collect_list(F.struct(F.col("pred"), F.col("obj_lex"))).alias("po")
     )
+
+
+def bgp_match(triples: DataFrame, patterns) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching: conjunctive
+    triple patterns with shared variables -> a bindings DataFrame
+    (one column per variable).
+
+    ``patterns`` is a list of (subj, pred, obj) where a string
+    starting with ``?`` is a variable and anything else is a constant
+    (IRI/literal lexical form); None is a don't-care wildcard.
+
+    Spark-first design (no reference counterpart — the reference stops
+    at single-pattern Find/FindAll, graph.go:17-39): each pattern is a
+    constant-filtered projection of the triple table (filters push
+    into the scan) and shared variables become equi-join keys.
+    Catalyst orders/chooses the joins — with the triple table bucketed
+    by subject (cluster_for_write), subject-subject joins co-locate.
+    A pattern sharing NO variable with the ones before it raises
+    (a cross join is never implicit at scale)."""
+    if not patterns:
+        raise ValueError("empty pattern list")
+    pos_cols = {"subj": "subj", "pred": "pred", "obj": "obj_lex"}
+
+    def one(p):
+        s, pr, o = p
+        df = triples
+        cols = []
+        seen = {}
+        for pos, val in zip(("subj", "pred", "obj"), (s, pr, o)):
+            col = pos_cols[pos]
+            if val is None:
+                continue
+            if isinstance(val, str) and val.startswith("?"):
+                var = val[1:]
+                if var in seen:  # same var twice within one pattern
+                    df = df.where(F.col(col) == F.col(seen[var]))
+                else:
+                    seen[var] = col
+                    cols.append(F.col(col).alias(var))
+            else:
+                df = df.where(F.col(col) == val)
+        return df.select(*cols), set(seen)
+
+    out, bound = one(patterns[0])
+    order = list(out.columns)
+    for p in patterns[1:]:
+        df, vs = one(p)
+        shared = sorted(bound & vs)
+        if not shared:
+            raise ValueError(
+                f"pattern {p!r} shares no variable with previous patterns "
+                "(would be a cross join)"
+            )
+        out = out.join(df, on=shared)
+        bound |= vs
+        order += [c for c in df.columns if c not in order]
+    return out.select(*order)  # variables in first-seen order
+
+
+def khop_neighbors(triples: DataFrame, start_subjects: DataFrame,
+                   k: int = 2) -> DataFrame:
+    """Entities reachable from ``start_subjects`` (column ``subj``) in
+    at most k hops along IRI objects: (entity, hops) with hops = the
+    minimum hop count. Each round is one equi-join frontier expansion
+    + an anti-join against the visited set (classic distributed BFS;
+    bounded k keeps the loop driver-side and the lineage shallow via
+    localCheckpoint)."""
+    from ..terms import KIND_IRI
+
+    edges = (
+        triples.where(F.col("obj_kind") == KIND_IRI)
+        .select(F.col("subj").alias("src"), F.col("obj_lex").alias("dst"))
+        .distinct()
+    )
+    visited = start_subjects.select(
+        F.col("subj").alias("entity")
+    ).distinct().withColumn("hops", F.lit(0)).localCheckpoint()
+    frontier = visited
+    for depth in range(1, k + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.entity)
+            .select(F.col("dst").alias("entity"))
+            .distinct()
+            .join(visited.select("entity"), "entity", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
