@@ -73,3 +73,61 @@ def test_parse_skolemize_chain_has_no_shuffle(spark):
     )
     plan = _plan(skolemize(good_triples(parse_pages(pages))))
     assert "Exchange" not in plan  # partition-preserving end to end
+
+
+def test_canonicalize_has_partial_aggregation(triples_parquet):
+    """The canonical dedupe must keep Spark's two-level (partial ->
+    final) hash aggregation — map-side combine is what makes the one
+    shuffle affordable at 10^12 triples."""
+    from rdf_spark.operators.canonical import canonicalize
+
+    plan = _plan(canonicalize(triples_parquet))
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange") == 1
+
+
+def test_stratified_sample_is_map_only(triples_parquet, spark):
+    """Deterministic sampling must add NO shuffle and NO job — it is a
+    filter over a hash expression."""
+    from rdf_spark.operators.curation import stratified_sample
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = _plan(stratified_sample(df, "lang", {"en": 0.5}))
+    assert "Exchange" not in plan
+
+
+def test_session_summaries_single_shuffle(spark):
+    """Both window functions and the final aggregate must reuse ONE
+    hash partitioning on the user key."""
+    from rdf_spark.streaming.sessions import session_summaries
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0)], "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    plan = _plan(session_summaries(df))
+    assert plan.count("Exchange") == 1
+
+
+def test_lsh_max_bucket_reuses_signature_exchange(spark):
+    """The max_bucket path references the minhash aggregation twice
+    (bucket-size count + member join) but the exchange must execute
+    once (ReusedExchange) — the expensive shingle/minhash upstream is
+    never recomputed."""
+    from rdf_spark.operators.dedup import lsh_candidate_pairs
+
+    sigs_src = spark.createDataFrame(
+        [(i, "a", "a", "b", "b") for i in range(10)],
+        "doc_id long, mh_0 string, mh_1 string, mh_2 string, mh_3 string",
+    )
+    # aggregate upstream so the plan contains a reusable exchange
+    sigs = sigs_src.groupBy("doc_id").agg(
+        F.min("mh_0").alias("mh_0"), F.min("mh_1").alias("mh_1"),
+        F.min("mh_2").alias("mh_2"), F.min("mh_3").alias("mh_3"),
+    )
+    df = lsh_candidate_pairs(sigs, num_hashes=4, band_size=2, max_bucket=3)
+    df.collect()  # AQE finalizes reuse at execution
+    plan = _plan(df)
+    assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or \
+        "TableCacheQueryStage" in plan
