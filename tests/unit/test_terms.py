@@ -56,3 +56,41 @@ def test_flat_roundtrip():
     row = T.triple_to_row(t)
     assert row[0] == T.KIND_BNODE and row[3] == T.KIND_LITERAL and row[6] == "en"
     assert T.row_to_term(row[0], row[1]) == ("b", "x")
+
+
+def test_iri_cache_distinguishes_iriref_from_pname():
+    """<ex:n> (absolute IRIREF) and ex:n (prefixed name) share lexical
+    text; the evaluator memo must key on the syntactic kind."""
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+
+    doc = '@prefix ex: <http://p/> .\n<ex:n> <ex:p> ex:n .\n'
+    out = [tuple(t) for t in parse_and_evaluate(doc, "")]
+    assert (("i", "ex:n"), ("i", "ex:p"), ("i", "http://p/n")) in out
+
+
+def test_iri_cache_invalidated_on_prefix_redefinition():
+    """@prefix redefinition mid-document must not serve stale memoized
+    resolutions."""
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+
+    doc = (
+        "@prefix ex: <http://a/> .\n"
+        "ex:s ex:p ex:o .\n"
+        "@prefix ex: <http://b/> .\n"
+        "ex:s ex:p ex:o .\n"
+    )
+    out = {t[0][1] for t in parse_and_evaluate(doc, "")}
+    assert out == {"http://a/s", "http://b/s"}
+
+
+def test_iri_cache_invalidated_on_base_change():
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+
+    doc = (
+        "@base <http://a/> .\n"
+        "<s> <p> <o> .\n"
+        "@base <http://b/> .\n"
+        "<s> <p> <o> .\n"
+    )
+    out = {t[0][1] for t in parse_and_evaluate(doc, "")}
+    assert out == {"http://a/s", "http://b/s"}
