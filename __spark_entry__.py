@@ -7,9 +7,11 @@ and canonicalized; returns the canonical triple table.
 
 `queries()` / `oracle_sql()` — one entry per operator family from
 SURVEY.md §2 (parsing for all six syntaxes + RDFa/Microdata/JSON-LD,
-triple-pattern ops, skolemize, serialize, dedupe, entity link, salted
-skew-safe aggregate, XSD datatypes, streaming ingest) plus the
-training-data operators (dedup, ANN, text analysis, multimodal).
+triple-pattern ops + BGP match + k-hop BFS, skolemize, serialize
+(NT/Turtle/nested/TriG), dedupe, entity link, salted skew-safe
+aggregate, XSD datatypes, streaming ingest, sessionization) plus the
+training-data operators (dedup, ANN, text analysis, curation,
+multimodal).
 Spark results and DuckDB oracles share exact column names and value
 semantics (hashes via md5/sha256, floats rounded before comparison/
 ranking). Rows-only entries (k-means IVF, pixel-stub resize, full
@@ -595,6 +597,37 @@ def q_doc_fingerprint(spark, sf_dir):
     return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
+def q_web_url_normalize(spark, sf_dir):
+    """URL canonicalization + host/registrable-domain extraction over
+    synthesized crawl URLs (dedup keys, per-site caps, domain splits).
+    Pure SQL expressions; the oracle states the closed-form expected
+    outputs for each synthesized shape."""
+    from rdf_spark.functions.web import (
+        registrable_domain,
+        url_host,
+        url_normalize,
+    )
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    url = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("HTTP://WWW.Example.COM:80/p/"), k, F.lit("#frag")))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("https://Shop.Example.co.uk:443/item/"), k, F.lit("/")))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("http://user:pw@Mirror.example.net:8080/x/"), k))
+        .otherwise(F.concat(F.lit("mailto:someone"), k, F.lit("@example.org#sig")))
+    )
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        url.alias("url"),
+        url_normalize(url).alias("norm"),
+        url_host(url).alias("host"),
+        registrable_domain(url).alias("domain"),
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repeated-3-gram ratio (Gopher-style quality
     signal); pure SQL expression."""
@@ -899,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "web_url_normalize": q_web_url_normalize,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
@@ -1201,6 +1235,34 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": r"""
             SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
             FROM documents
+        """,
+        "web_url_normalize": """
+            SELECT c_custkey AS custkey,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'HTTP://WWW.Example.COM:80/p/' || c_custkey || '#frag'
+                     WHEN 1 THEN 'https://Shop.Example.co.uk:443/item/' || c_custkey || '/'
+                     WHEN 2 THEN 'http://user:pw@Mirror.example.net:8080/x/' || c_custkey
+                     ELSE 'mailto:someone' || c_custkey || '@example.org#sig'
+                   END AS url,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'http://www.example.com/p/' || c_custkey
+                     WHEN 1 THEN 'https://shop.example.co.uk/item/' || c_custkey || '/'
+                     WHEN 2 THEN 'http://user:pw@mirror.example.net:8080/x/' || c_custkey
+                     ELSE 'mailto:someone' || c_custkey || '@example.org'
+                   END AS norm,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'www.example.com'
+                     WHEN 1 THEN 'shop.example.co.uk'
+                     WHEN 2 THEN 'mirror.example.net'
+                     ELSE ''
+                   END AS host,
+                   CASE c_custkey % 4
+                     WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'co.uk'
+                     WHEN 2 THEN 'example.net'
+                     ELSE ''
+                   END AS domain
+            FROM customer
         """,
         "doc_repetition": r"""
             WITH toks AS (
