@@ -628,6 +628,29 @@ def q_web_url_normalize(spark, sf_dir):
     )
 
 
+def q_doc_pii(spark, sf_dir):
+    """PII screening + redaction over synthesized contact-bearing
+    text (emails from custkey, phones from c_phone)."""
+    from rdf_spark.functions.text import pii_counts, redact_pii
+
+    c = _read(spark, sf_dir, "customer")
+    phone = F.concat(F.lit("+1 (555) "),
+                     (F.col("c_custkey") % 9000 + 1000).cast("string"),
+                     F.lit("-01"))
+    text = F.concat(
+        F.lit("reach user"), F.col("c_custkey").cast("string"),
+        F.lit("@mail.example or call "), phone,
+        F.lit(" during office hours"),
+    )
+    pc = pii_counts(text)
+    return c.select(
+        F.col("c_custkey").alias("custkey"),
+        pc["n_emails"].alias("n_emails"),
+        pc["n_phones"].alias("n_phones"),
+        redact_pii(text).alias("redacted"),
+    )
+
+
 def q_doc_repetition(spark, sf_dir):
     """Intra-document repeated-3-gram ratio (Gopher-style quality
     signal); pure SQL expression."""
@@ -933,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         "web_url_normalize": q_web_url_normalize,
+        "doc_pii": q_doc_pii,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
@@ -1263,6 +1287,27 @@ def oracle_sql() -> dict[str, str]:
                      ELSE ''
                    END AS domain
             FROM customer
+        """,
+        "doc_pii": r"""
+            WITH t AS (
+                SELECT c_custkey,
+                       'reach user' || c_custkey || '@mail.example or call '
+                       || '+1 (555) ' || (c_custkey % 9000 + 1000) || '-01'
+                       || ' during office hours' AS text
+                FROM customer
+            )
+            SELECT c_custkey AS custkey,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                        '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+            FROM t
         """,
         "doc_repetition": r"""
             WITH toks AS (

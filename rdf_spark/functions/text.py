@@ -116,3 +116,27 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
         ).otherwise(F.lit(0.0)),
         4,
     )
+
+
+# PII patterns shared by Spark (Java regex) and the DuckDB oracle
+# (RE2): character classes and bounded repetition only — no
+# lookaround, no backreferences, so both dialects agree exactly.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+
+
+def pii_counts(text: Column) -> Column:
+    """struct(n_emails, n_phones) — screening signal for curation
+    filters (drop or route documents with dense contact info)."""
+    return F.struct(
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone-like runs with typed placeholders.
+    Order matters: the email pattern consumes digits-in-local-parts
+    that the phone pattern could otherwise split."""
+    no_email = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PHONE_RE, "<PHONE>")
