@@ -414,6 +414,41 @@ def q_rdf_dedupe(spark, sf_dir):
                       "first_url")
 
 
+def q_rdf_merge_canonical(spark, sf_dir):
+    """Incremental canonical-table maintenance: canonicalize two
+    batch halves independently, merge (union + one aggregate — never a
+    rescan of history), and the result must equal one full-batch
+    GROUP BY (the oracle). Deterministic columns only; the mergeable
+    HLL source sketches are pytest-covered (test_merge_canonical)."""
+    from rdf_spark.operators.canonical import canonicalize_sketched, merge_canonical
+
+    li = _read(spark, sf_dir, "lineitem")
+
+    def half(pred):
+        rows = li.where(pred)
+        return rows.select(
+            F.concat(F.lit("http://crawl.example/order/"),
+                     F.col("l_orderkey").cast("string")).alias("url"),
+            F.lit(0).cast("tinyint").alias("subj_kind"),
+            F.concat(F.lit(EX + "part/"), F.col("l_partkey").cast("string")).alias("subj"),
+            F.lit(EX + "shippedWith").alias("pred"),
+            F.lit(0).cast("tinyint").alias("obj_kind"),
+            F.concat(F.lit(EX + "supp/"), F.col("l_suppkey").cast("string")).alias("obj_lex"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("tinyint").alias("graph_kind"),
+            F.lit(None).cast("string").alias("graph"),
+        )
+
+    a = canonicalize_sketched(half(F.col("l_orderkey") % 2 == 0))
+    b = canonicalize_sketched(half(F.col("l_orderkey") % 2 == 1))
+    merged = merge_canonical(a, b)
+    return merged.select(
+        "subj", "obj_lex", F.col("support").cast("long").alias("support"),
+        "first_url",
+    )
+
+
 def q_rdf_entity_link(spark, sf_dir):
     from rdf_spark.operators.link import link_entities
 
@@ -942,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_serialize_trig": q_rdf_serialize_trig,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
+        "rdf_merge_canonical": q_rdf_merge_canonical,
         "rdf_entity_link": q_rdf_entity_link,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
         "rdf_salted_degree": q_rdf_salted_degree,
@@ -1136,6 +1172,13 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
         """,
         "rdf_dedupe": """
+            SELECT 'http://ex/part/' || l_partkey AS subj,
+                   'http://ex/supp/' || l_suppkey AS obj_lex,
+                   CAST(count(*) AS BIGINT) AS support,
+                   min('http://crawl.example/order/' || l_orderkey) AS first_url
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "rdf_merge_canonical": """
             SELECT 'http://ex/part/' || l_partkey AS subj,
                    'http://ex/supp/' || l_suppkey AS obj_lex,
                    CAST(count(*) AS BIGINT) AS support,

@@ -45,6 +45,43 @@ def canonicalize(triples: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def canonicalize_sketched(triples: DataFrame, url_col: str = "url",
+                          lg_k: int = 12) -> DataFrame:
+    """Canonicalize with a MERGEABLE provenance sketch: instead of a
+    finalized approx_count_distinct number, each canonical triple
+    carries an HLL sketch (binary) of its source urls. This is the
+    incremental-materialization form: a continuously-crawled corpus
+    appends batches, and merge_canonical() combines a new batch with
+    the existing table WITHOUT rescanning history — counts add,
+    exemplars min, sketches union. (A finalized estimate cannot be
+    merged; the sketch can.)"""
+    return triples.groupBy(*TRIPLE_KEY).agg(
+        F.count(F.lit(1)).alias("support"),
+        F.min(url_col).alias("first_url"),
+        F.hll_sketch_agg(url_col, F.lit(lg_k)).alias("sources_sketch"),
+    )
+
+
+def merge_canonical(existing: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge a newly-canonicalized batch into the existing canonical
+    table (both in canonicalize_sketched layout): one union + one
+    aggregate on the triple key — cost proportional to
+    |existing| + |delta|, never to the raw history. At real scale this
+    is the MERGE INTO of the Iceberg triple table."""
+    return existing.unionByName(delta).groupBy(*TRIPLE_KEY).agg(
+        F.sum("support").alias("support"),
+        F.min("first_url").alias("first_url"),
+        F.hll_union_agg("sources_sketch").alias("sources_sketch"),
+    )
+
+
+def with_source_estimates(canonical: DataFrame) -> DataFrame:
+    """Read-time distinct-source estimates from the stored sketches."""
+    return canonical.withColumn(
+        "approx_sources", F.hll_sketch_estimate("sources_sketch")
+    )
+
+
 def cluster_for_write(canonical: DataFrame, buckets: int = 32) -> DataFrame:
     """Layout for materialization: hash-repartition on subject (co-
     locates each entity's triples -> downstream entity-local joins are
