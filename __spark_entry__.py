@@ -724,6 +724,16 @@ def q_doc_remove_boilerplate(spark, sf_dir):
     return remove_boilerplate(docs, min_docs=2)
 
 
+def q_doc_filter_verdicts(spark, sf_dir):
+    """Reason-coded curation filter (first failing rule wins):
+    too_short > high_repetition > low_quality > ok."""
+    from rdf_spark.operators.curation import filter_verdicts
+
+    d = _read(spark, sf_dir, "documents")
+    return filter_verdicts(d, min_tokens=20, max_repetition=0.5,
+                           min_quality=0.1)
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     from rdf_spark.operators.dedup import exact_dedup_groups
 
@@ -996,6 +1006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
+        "doc_filter_verdicts": q_doc_filter_verdicts,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
@@ -1385,6 +1396,42 @@ def oracle_sql() -> dict[str, str]:
                    'about customer ' || c_custkey || chr(10) ||
                    'name ' || c_name AS text
             FROM customer
+        """,
+        "doc_filter_verdicts": r"""
+            WITH base AS (
+                SELECT doc_id,
+                       len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x != '')) AS nt,
+                       length(regexp_replace(text,
+                           '[^.,;:!?''"()\[\]{}-]', '', 'g')) AS np,
+                       length(text) AS nc,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), feat AS (
+                SELECT doc_id, nt,
+                       round(least(nt / 100.0, 1.0) *
+                             (1.0 - least(round(CASE WHEN nc > 0
+                                   THEN np * 1.0 / nc ELSE 0.0 END, 4)
+                                   * 5.0, 1.0)), 4) AS quality,
+                       round(CASE WHEN greatest(len(t) - 2, 0) > 0
+                             THEN 1.0 - len(list_distinct(
+                                    list_transform(range(greatest(len(t) - 2, 0)),
+                                        i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])))
+                                  * 1.0 / (len(t) - 2)
+                             ELSE 0.0 END, 4) AS rep
+                FROM base
+            )
+            SELECT doc_id,
+                   CASE WHEN nt < 20 THEN false
+                        WHEN rep > 0.5 THEN false
+                        WHEN quality < 0.1 THEN false
+                        ELSE true END AS keep,
+                   CASE WHEN nt < 20 THEN 'too_short'
+                        WHEN rep > 0.5 THEN 'high_repetition'
+                        WHEN quality < 0.1 THEN 'low_quality'
+                        ELSE 'ok' END AS reason
+            FROM feat
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,

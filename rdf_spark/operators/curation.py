@@ -107,3 +107,32 @@ def stratified_sample(df: DataFrame, strata_col: str,
     for k, v in sorted(fractions.items()):
         frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
     return df.where(stratum_hash(F.col(id_col)) < frac * 10000)
+
+
+def filter_verdicts(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    min_tokens: int = 20,
+                    max_repetition: float = 0.5,
+                    min_quality: float = 0.1) -> DataFrame:
+    """Reason-coded keep/drop verdict per document: (doc_id, keep,
+    reason). The FIRST failing rule names the reason ('too_short' >
+    'high_repetition' > 'low_quality' > 'ok') so drop statistics are
+    attributable — at corpus scale the reason histogram is the primary
+    dashboard for tuning thresholds. One pass, pure SQL expressions,
+    no shuffle."""
+    from ..functions.text import quality_score, repetition_ratio, token_count
+
+    toks = token_count(F.col(text_col))
+    rep = repetition_ratio(F.col(text_col))
+    qual = quality_score(F.col(text_col))
+    reason = (
+        F.when(toks < min_tokens, F.lit("too_short"))
+        .when(rep > max_repetition, F.lit("high_repetition"))
+        .when(qual < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (reason == "ok").alias("keep"),
+        reason.alias("reason"),
+    )
