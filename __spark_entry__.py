@@ -734,6 +734,19 @@ def q_doc_filter_verdicts(spark, sf_dir):
                            min_quality=0.1)
 
 
+def q_doc_pack_sequences(spark, sf_dir):
+    """Deterministic greedy token-budget packing: hash buckets scanned
+    in doc_id order; the oracle replays the same greedy walk with a
+    recursive CTE."""
+    from rdf_spark.operators.curation import pack_sequences
+
+    d = _read(spark, sf_dir, "documents")
+    return pack_sequences(d, max_tokens=1024, buckets=16).select(
+        "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("bucket").cast("int").alias("bucket"), "seq_id", "seq_offset",
+    )
+
+
 def q_doc_exact_dedup(spark, sf_dir):
     from rdf_spark.operators.dedup import exact_dedup_groups
 
@@ -1007,6 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
         "doc_filter_verdicts": q_doc_filter_verdicts,
+        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
@@ -1396,6 +1410,42 @@ def oracle_sql() -> dict[str, str]:
                    'about customer ' || c_custkey || chr(10) ||
                    'name ' || c_name AS text
             FROM customer
+        """,
+        # greedy packing replayed as a per-bucket recursive walk:
+        # (seq_id, offset, acc) carried row to row in doc_id order
+        "doc_pack_sequences": r"""
+            WITH RECURSIVE src AS (
+                SELECT doc_id,
+                       CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x != '')) AS BIGINT) AS n_tokens,
+                       CAST((CAST(list_sum(list_transform(range(8), i ->
+                            (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+                            * power(16, 7 - i))) AS BIGINT) % 10000) % 16 AS INT) AS bucket,
+                       row_number() OVER (PARTITION BY
+                           CAST((CAST(list_sum(list_transform(range(8), i ->
+                                (strpos('0123456789abcdef',
+                                        substr(md5(CAST(doc_id AS VARCHAR)), i + 1, 1)) - 1)
+                                * power(16, 7 - i))) AS BIGINT) % 10000) % 16 AS INT)
+                           ORDER BY doc_id) AS rn
+                FROM documents
+            ), walk AS (
+                SELECT bucket, rn, doc_id, n_tokens,
+                       CAST(0 AS BIGINT) AS seq_id,
+                       CAST(0 AS BIGINT) AS seq_offset,
+                       n_tokens AS acc
+                FROM src WHERE rn = 1
+                UNION ALL
+                SELECT s.bucket, s.rn, s.doc_id, s.n_tokens,
+                       CASE WHEN w.acc > 0 AND w.acc + s.n_tokens > 1024
+                            THEN w.seq_id + 1 ELSE w.seq_id END,
+                       CASE WHEN w.acc > 0 AND w.acc + s.n_tokens > 1024
+                            THEN CAST(0 AS BIGINT) ELSE w.acc END,
+                       CASE WHEN w.acc > 0 AND w.acc + s.n_tokens > 1024
+                            THEN s.n_tokens ELSE w.acc + s.n_tokens END
+                FROM walk w JOIN src s ON s.bucket = w.bucket AND s.rn = w.rn + 1
+            )
+            SELECT doc_id, n_tokens, bucket, seq_id, seq_offset FROM walk
         """,
         "doc_filter_verdicts": r"""
             WITH base AS (

@@ -136,3 +136,50 @@ def filter_verdicts(docs: DataFrame, id_col: str = "doc_id",
         (reason == "ok").alias("keep"),
         reason.alias("reason"),
     )
+
+
+def pack_sequences(docs: DataFrame, max_tokens: int = 2048,
+                   buckets: int = 256, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Greedy token-budget sequence packing for training-data prep:
+    (doc_id, n_tokens, bucket, seq_id, seq_offset) with per-(bucket,
+    seq_id) token totals <= max_tokens (a doc longer than the budget
+    gets its own sequence).
+
+    Packing is inherently sequential, so the corpus is first split
+    into md5-hash buckets (deterministic, uniform) and the greedy scan
+    runs per bucket inside applyInPandas — parallelism = `buckets`,
+    each group's state is one running counter. Deterministic end to
+    end: bucket = hash(doc_id), scan order = doc_id order. A resumed
+    or re-run job packs identically (no RNG, no partition-order
+    dependence)."""
+    import pandas as pd
+
+    from ..functions.text import token_count
+
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        (stratum_hash(F.col(id_col)) % buckets).cast("int").alias("bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq_ids, offsets = [], []
+        seq, acc = 0, 0
+        for nt in pdf["n_tokens"]:
+            nt = int(nt)
+            if acc > 0 and acc + nt > max_tokens:
+                seq += 1
+                acc = 0
+            offsets.append(acc)
+            seq_ids.append(seq)
+            acc += nt
+        pdf["seq_id"] = seq_ids
+        pdf["seq_offset"] = offsets
+        return pdf
+
+    return src.groupBy("bucket").applyInPandas(
+        pack,
+        schema="doc_id long, n_tokens int, bucket int, seq_id long, seq_offset long",
+    )
