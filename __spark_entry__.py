@@ -348,6 +348,16 @@ def q_rdf_serialize_turtle_nested(spark, sf_dir):
     return serialize_turtle_nested(t, {"ex": EX}).select("subj", "value")
 
 
+def q_rdf_serialize_jsonld(spark, sf_dir):
+    """JSON-LD node-object sink (reference Node.toObject direction,
+    node.go:24-100, completed as a document serializer; standard
+    @type keyword). Round-trips through parse_jsonld."""
+    from rdf_spark.functions.serialize import serialize_jsonld
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return serialize_jsonld(t).select("subj", "value")
+
+
 def q_rdf_serialize_trig(spark, sf_dir):
     """TriG dataset pretty-printer: one graph section per region graph
     of the N-Quads corpus (SURVEY.md S9 dataset form)."""
@@ -997,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_serialize": q_rdf_serialize,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
         "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
+        "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
         "rdf_serialize_trig": q_rdf_serialize_trig,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
@@ -1176,6 +1187,14 @@ def oracle_sql() -> dict[str, str]:
                    ' ex:addr [ ex:city "' || n_name || ' CITY" ; ex:zip "' ||
                    n_regionkey || '" ] ;' || chr(10) ||
                    '  ex:name "' || n_name || '" .' AS value
+            FROM nation
+        """,
+        "rdf_serialize_jsonld": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj,
+                   '{{"@id":"http://ex/n' || n_nationkey ||
+                   '","http://ex/inRegion":[{{"@id":"http://ex/r' || n_regionkey ||
+                   '"}}],"http://ex/name":[{{"@value":"' || n_name ||
+                   '"}}],"{RDF_TYPE}":[{{"@id":"http://ex/Nation"}}]}}' AS value
             FROM nation
         """,
         "rdf_serialize_trig": """

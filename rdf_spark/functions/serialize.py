@@ -330,6 +330,75 @@ def serialize_trig(quads: DataFrame,
     )
 
 
+def _json_esc(col: Column) -> Column:
+    """Minimal JSON string escaping (backslash and double quote; the
+    term model's lexical forms already encode control chars as NT
+    escapes, which pass through JSON verbatim)."""
+    return F.regexp_replace(col, r'(["\\])', r"\\$1")
+
+
+def serialize_jsonld(triples: DataFrame) -> DataFrame:
+    """Triples -> one JSON-LD node object per subject:
+    ``{"@id": s, "<pred>": [ {"@id"|"@value"...}, ... ], ...}`` with
+    predicates and objects sorted for deterministic output.
+
+    Parity: the reference models this direction in Node.toObject
+    (node.go:24-47, 72-100) but never wires a document serializer;
+    this completes it. Deviation: typed literals use standard JSON-LD
+    ``"@type"`` (the reference's toObject uses a nonstandard
+    ``"@datatype"``, node.go:89/94) so the output round-trips through
+    this repo's own parse_jsonld.
+
+    Literal lexical forms are emitted VERBATIM: the term model's
+    NT-escaped convention (backslash-quote, double-backslash, \\n,
+    \\r, \\t, \\uXXXX) is
+    itself a valid JSON string body, and parse_jsonld's JSON decode +
+    escape_literal_lex canonicalization is its exact inverse — so
+    round-trip is the identity. (Known edge: a supplementary-plane
+    \\UXXXXXXXX escape is not JSON; such values should round-trip via
+    the NT family.) IRIs get minimal JSON escaping.
+
+    Two shuffles: groupBy(subj, pred) then groupBy(subj) — the same
+    shape as serialize_trig; an export sink, not the bulk path."""
+    subj_ref = F.when(
+        F.col("subj_kind") == KIND_BNODE, F.concat(F.lit("_:"), F.col("subj"))
+    ).otherwise(F.col("subj"))
+    obj_json = (
+        F.when(F.col("obj_kind") == KIND_IRI,
+               F.concat(F.lit('{"@id":"'), _json_esc(F.col("obj_lex")), F.lit('"}')))
+        .when(F.col("obj_kind") == KIND_BNODE,
+              F.concat(F.lit('{"@id":"_:'), F.col("obj_lex"), F.lit('"}')))
+        .when(F.col("obj_lang").isNotNull(),
+              F.concat(F.lit('{"@value":"'), F.col("obj_lex"),
+                       F.lit('","@language":"'), F.col("obj_lang"), F.lit('"}')))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(F.lit('{"@value":"'), F.col("obj_lex"),
+                       F.lit('","@type":"'), F.col("obj_datatype"), F.lit('"}')))
+        .otherwise(
+            F.concat(F.lit('{"@value":"'), F.col("obj_lex"), F.lit('"}')))
+    )
+    per_pred = (
+        triples.groupBy(subj_ref.alias("subj"), F.col("pred"))
+        .agg(F.sort_array(F.collect_list(obj_json)).alias("objs"))
+        .select(
+            "subj",
+            F.concat(F.lit('"'), _json_esc(F.col("pred")), F.lit('":['),
+                     F.array_join(F.col("objs"), ","), F.lit("]")).alias("entry"),
+        )
+    )
+    return (
+        per_pred.groupBy("subj")
+        .agg(F.sort_array(F.collect_list("entry")).alias("entries"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit('{"@id":"'), _json_esc(F.col("subj")), F.lit('",'),
+                F.array_join(F.col("entries"), ","), F.lit("}"),
+            ).alias("value"),
+        )
+    )
+
+
 def prefix_header(prefixes: dict[str, str]) -> list[str]:
     """@prefix lines for a pretty-printed document (driver-side; tiny)."""
     return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]

@@ -171,3 +171,36 @@ def test_nested_cycle_falls_back_to_labels(spark):
            serialize_turtle_nested(t, {"ex": "http://ex/"}).collect()}
     assert set(out) == {"_:x", "_:y"}
     assert out["_:x"] == "_:x ex:p _:y ."
+
+
+def test_jsonld_roundtrip_through_own_parser(spark):
+    """serialize_jsonld output re-parses (parse_jsonld) to exactly the
+    original triples, including language tags, datatypes and escaped
+    quotes."""
+    from rdf_spark.functions.serialize import serialize_jsonld
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    XSD_INT = "http://www.w3.org/2001/XMLSchema#integer"
+    rows = [
+        (0, "http://ex/a", "http://ex/knows", 0, "http://ex/b", None, None),
+        (0, "http://ex/a", "http://ex/name", 2, 'say \\"hi\\"', None, None),
+        (0, "http://ex/a", "http://ex/note", 2, "bonjour", None, "fr"),
+        (0, "http://ex/a", "http://ex/age", 2, "42", XSD_INT, None),
+        (1, "b0", "http://ex/name", 2, "Blank", None, None),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    docs = {r["subj"]: r["value"] for r in serialize_jsonld(t).collect()}
+    got = []
+    for v in docs.values():
+        got.extend(parse_jsonld(v))
+    want = {
+        (("i", "http://ex/a"), ("i", "http://ex/knows"), ("i", "http://ex/b"), None),
+        (("i", "http://ex/a"), ("i", "http://ex/name"),
+         ("l", 'say \\"hi\\"', None, None), None),
+        (("i", "http://ex/a"), ("i", "http://ex/note"),
+         ("l", "bonjour", None, "fr"), None),
+        (("i", "http://ex/a"), ("i", "http://ex/age"),
+         ("l", "42", XSD_INT, None), None),
+        (("b", "b0"), ("i", "http://ex/name"), ("l", "Blank", None, None), None),
+    }
+    assert {tuple(q) for q in got} == want
