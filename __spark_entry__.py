@@ -247,6 +247,29 @@ def q_rdf_parse_rdfa(spark, sf_dir):
     return t.select("subj", "pred", "obj_lex")
 
 
+def q_web_page_metadata(spark, sf_dir):
+    """Page-metadata table (title / meta description / canonical link
+    / html lang) extracted from synthesized HTML — the crawl-side
+    companion of the RDF extraction front-end."""
+    from rdf_spark.sources.extract import extract_metadata
+
+    n = _read(spark, sf_dir, "nation")
+    html = F.concat(
+        F.lit('<html lang="en"><head><title>Nation '), F.col("n_name"),
+        F.lit('</title><meta name="description" content="About '),
+        F.col("n_name"),
+        F.lit('"><link rel="canonical" href="/n/'),
+        F.col("n_nationkey").cast("string"),
+        F.lit('"></head><body>x</body></html>'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/meta/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_metadata(pages)
+
+
 def q_rdf_triple_pattern(spark, sf_dir):
     from rdf_spark.operators.graphops import find_all
 
@@ -1000,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_triple_pattern": q_rdf_triple_pattern,
+        "web_page_metadata": q_web_page_metadata,
         "rdf_bgp_match": q_rdf_bgp_match,
         "rdf_khop": q_rdf_khop,
         "rdf_group_by_graph": q_rdf_group_by_graph,
@@ -1134,6 +1158,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rdf_triple_pattern": """
             SELECT 'http://ex/n' || n_nationkey AS subj, n_name AS obj_lex FROM nation
+        """,
+        "web_page_metadata": """
+            SELECT 'http://crawl.example/meta/' || n_nationkey AS url,
+                   'Nation ' || n_name AS title,
+                   'About ' || n_name AS description,
+                   'http://crawl.example/n/' || n_nationkey AS canonical,
+                   'en' AS html_lang
+            FROM nation
         """,
         "rdf_bgp_match": """
             SELECT 'http://ex/n' || n_nationkey AS n,

@@ -106,3 +106,73 @@ def extract_pages(pages: DataFrame) -> DataFrame:
             )
 
     return src.mapInPandas(run, schema=BLOCKS_SCHEMA)
+
+
+METADATA_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("canonical", StringType()),
+        StructField("html_lang", StringType()),
+    ]
+)
+
+
+def page_metadata_from_html(html: bytes | str, base: str = ""):
+    """(title, description, canonical, html_lang) from one page:
+    <title> text, <meta name=description content>, <link rel=canonical
+    href> resolved against the page url, <html lang>. First occurrence
+    wins; missing -> None. Tolerant parse (same tree builder as the
+    RDFa/Microdata extractors)."""
+    from urllib.parse import urljoin
+
+    from .html_rdf import build_tree, _Node
+
+    root = build_tree(html)
+    out = {"title": None, "description": None, "canonical": None,
+           "html_lang": None}
+
+    def walk(node):
+        a = node.attrs
+        if node.tag == "html" and out["html_lang"] is None and a.get("lang"):
+            out["html_lang"] = a["lang"]
+        elif node.tag == "title" and out["title"] is None:
+            t = node.text().strip()
+            if t:
+                out["title"] = t
+        elif node.tag == "meta" and out["description"] is None:
+            if (a.get("name") or "").lower() == "description" and a.get("content"):
+                out["description"] = a["content"]
+        elif node.tag == "link" and out["canonical"] is None:
+            rels = (a.get("rel") or "").lower().split()
+            if "canonical" in rels and a.get("href"):
+                out["canonical"] = urljoin(base, a["href"]) if base else a["href"]
+        for c in node.children:
+            if isinstance(c, _Node):
+                walk(c)
+
+    walk(root)
+    return out
+
+
+def extract_metadata(pages: DataFrame) -> DataFrame:
+    """pages(url, html) -> one metadata row per page via mapInPandas
+    (Arrow-batched, partition-preserving — the crawl pipeline's page
+    metadata table)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                m = page_metadata_from_html(
+                    bytes(html) if html is not None else b"", base=url or ""
+                )
+                rows.append((url, m["title"], m["description"],
+                             m["canonical"], m["html_lang"]))
+            yield pd.DataFrame(
+                rows, columns=["url", "title", "description", "canonical",
+                               "html_lang"],
+            )
+
+    return pages.select("url", "html").mapInPandas(run, schema=METADATA_SCHEMA)

@@ -218,3 +218,22 @@ def test_jsonld_string_literals_escaped():
     got = parse_jsonld(doc)
     lit = [q[2] for q in got if q[1] == ("i", "http://ex/p")][0]
     assert lit == ("l", 'say \\"hi\\"\\nplease', None, None)
+
+
+def test_page_metadata_missing_and_first_wins():
+    from rdf_spark.sources.extract import page_metadata_from_html
+
+    html = (
+        '<html><head><title>First</title><title>Second</title>'
+        '<meta name="Description" content="D1">'
+        '<link rel="stylesheet canonical" href="c1">'
+        '<link rel="canonical" href="c2"></head></html>'
+    )
+    m = page_metadata_from_html(html, base="http://s.example/p/q")
+    assert m["title"] == "First"
+    assert m["description"] == "D1"          # name match is case-insensitive
+    assert m["canonical"] == "http://s.example/p/c1"  # multi-rel, first wins
+    assert m["html_lang"] is None
+
+    empty = page_metadata_from_html("<p>no head</p>", base="")
+    assert all(v is None for v in empty.values())
