@@ -14,8 +14,9 @@ training-data operators (dedup, ANN, text analysis, curation,
 multimodal).
 Spark results and DuckDB oracles share exact column names and value
 semantics (hashes via md5/sha256, floats rounded before comparison/
-ranking). Rows-only entries (k-means IVF, pixel-stub resize, full
-pipeline) are genuinely non-SQL-expressible.
+ranking). The single rows-only entry (k-means IVF) is genuinely
+non-SQL-expressible (Lloyd iterations); its recall is asserted against
+the brute-force oracle in tests/pipeline/test_kmeans_ivf.py.
 """
 
 from __future__ import annotations
@@ -904,11 +905,13 @@ def q_mm_features(spark, sf_dir):
 
 def q_mm_decode_resize(spark, sf_dir):
     """Image decode (stubbed codec, real Arrow plumbing) -> nearest-
-    neighbor resize to 4x4 (rows-only: pixel bytes derive from a
-    sha256-seeded stub, not SQL-expressible)."""
+    neighbor resize 8x8 -> 4x4. The pixel stub is deterministic
+    (sha256(content) bytes tiled to w*h*3), so the DuckDB oracle can
+    replay decode + nearest-neighbor index mapping in hex-string space
+    and the exact output bytes are contract-checked (pixels_hex)."""
     from rdf_spark.operators.multimodal import decode_images, resize_images
 
-    d = _read(spark, sf_dir, "documents").limit(200)
+    d = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
@@ -920,7 +923,7 @@ def q_mm_decode_resize(spark, sf_dir):
     )
     out = resize_images(decode_images(media), 4, 4)
     return out.select("media_id", "width", "height", "channels",
-                      F.sha2(F.col("pixels"), 256).alias("pixels_sha"))
+                      F.hex(F.col("pixels")).alias("pixels_hex"))
 
 
 def q_doc_simhash_pairs(spark, sf_dir):
@@ -1012,7 +1015,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict order is the driver's evaluation order and the driver
+    checks at most the FIRST 50 entries, so the high-value queries
+    (flagship pipeline, streaming/sessionization, the dedup/ANN/
+    curation families) come first; the tail past 50 holds entries whose
+    operator is redundantly exercised earlier (rdf_merge_canonical's
+    oracle is byte-identical to rdf_dedupe's; the pretty-printer
+    variants all sit on the serializer checked by rdf_serialize and
+    the round-trip tests) plus the genuinely rows-only k-means IVF.
+    Every entry — head and tail — is still oracle-checked locally by
+    tests/pipeline/test_entry_contract.py, which parametrizes all of
+    them."""
     return {
+        # flagship + previously-uncovered hard rows first
+        "kg_pipeline": q_kg_pipeline,
+        "evt_sessions": q_evt_sessions,
+        "evt_hourly": q_evt_hourly,
+        "tpch_q1_like": q_tpch_q1_like,
+        "mm_features": q_mm_features,
+        "mm_decode_resize": q_mm_decode_resize,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
+        "emb_lsh_topk": q_emb_lsh_topk,
+        "kg_streaming": q_kg_streaming,
+        # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
         "rdf_parse_nquads": q_rdf_parse_nquads,
@@ -1022,27 +1047,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_star_nq": q_rdf_parse_star_nq,
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
-        "rdf_triple_pattern": q_rdf_triple_pattern,
         "web_page_metadata": q_web_page_metadata,
+        # graph ops
+        "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_bgp_match": q_rdf_bgp_match,
         "rdf_khop": q_rdf_khop,
-        "rdf_group_by_graph": q_rdf_group_by_graph,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
-        "rdf_serialize_turtle": q_rdf_serialize_turtle,
-        "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
-        "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
-        "rdf_serialize_trig": q_rdf_serialize_trig,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
-        "rdf_merge_canonical": q_rdf_merge_canonical,
         "rdf_entity_link": q_rdf_entity_link,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
         "rdf_salted_degree": q_rdf_salted_degree,
-        "rdf_po_map": q_rdf_po_map,
-        "rdf_add_remove": q_rdf_add_remove,
         "rdf_xsd_validate": q_rdf_xsd_validate,
-        "kg_streaming": q_kg_streaming,
+        # training-data / curation
         "doc_subword_tokens": q_doc_subword_tokens,
         "emb_near_dups": q_emb_near_dups,
         "doc_token_stats": q_doc_token_stats,
@@ -1063,17 +1081,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
         "emb_ivf_topk": q_emb_ivf_topk,
-        "evt_sessions": q_evt_sessions,
-        "evt_hourly": q_evt_hourly,
-        "tpch_q1_like": q_tpch_q1_like,
-        "mm_features": q_mm_features,
-        "doc_simhash_pairs": q_doc_simhash_pairs,
-        "emb_lsh_topk": q_emb_lsh_topk,
-        "kg_pipeline": q_kg_pipeline,
-        # rows-only checks (non-SQL-expressible):
-        "mm_decode_resize": q_mm_decode_resize,
+        # --- 50-entry driver cap ends here; tail entries below are
+        # redundant with earlier rows or rows-only, and stay covered by
+        # the local contract tests ---
+        "rdf_group_by_graph": q_rdf_group_by_graph,
+        "rdf_serialize_turtle": q_rdf_serialize_turtle,
+        "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
+        "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
+        "rdf_serialize_trig": q_rdf_serialize_trig,
+        "rdf_merge_canonical": q_rdf_merge_canonical,
+        "rdf_po_map": q_rdf_po_map,
+        "rdf_add_remove": q_rdf_add_remove,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
     }
+
+
+# hex-char runs for the mm_decode_resize oracle: one 3-byte pixel at
+# source offset (y*8 + x)*3 for each sampled row y / col x in {0,2,4,6}
+_MM_RESIZE_PARTS = " || ".join(
+    f"substr(hexpx, {(y * 8 + x) * 3 * 2 + 1}, 6)"
+    for y in (0, 2, 4, 6)
+    for x in (0, 2, 4, 6)
+)
 
 
 _SHINGLES_CTE = """
@@ -1674,6 +1703,20 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS content_sha,
                    'text-feat-' || substr(sha256(text), 1, 16) AS feature
             FROM documents
+        """,
+        # decode stub replayed in hex-string space: pixels = sha256
+        # digest tiled to 8*8*3 bytes (192 bytes = 384 hex chars);
+        # nearest-neighbor 8x8 -> 4x4 picks source rows/cols {0,2,4,6},
+        # i.e. 3-byte (6-hex-char) runs at offsets (y*8+x)*3.
+        "mm_decode_resize": f"""
+            WITH s AS (
+                SELECT doc_id AS media_id,
+                       substr(repeat(sha256(text), 7), 1, 384) AS hexpx
+                FROM documents WHERE doc_id < 200
+            )
+            SELECT media_id, 4 AS width, 4 AS height, 3 AS channels,
+                   upper({_MM_RESIZE_PARTS}) AS pixels_hex
+            FROM s
         """,
         # SimHash recomputed from md5 hex nibbles: bit j of the 64-bit
         # big-endian prefix lives in hex char 16 - j//4, nibble bit
