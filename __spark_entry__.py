@@ -1565,7 +1565,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_exact_dedup": """
             SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_docs,
-                   array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+                   array_to_string(list_sort(list(doc_id))[1:32], ',') AS doc_ids
             FROM documents GROUP BY 1 HAVING count(*) > 1
         """,
         "doc_minhash": _SHINGLES_CTE + """

@@ -25,16 +25,46 @@ from pyspark.sql import functions as F
 
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (content_hash, n_docs, doc_ids)."""
-    return (
-        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
-        .groupBy("content_hash")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
-        )
+                       text_col: str = "text",
+                       max_ids: int | None = 32) -> DataFrame:
+    """Groups of byte-identical documents: (content_hash, n_docs,
+    doc_ids) where doc_ids holds at most ``max_ids`` members (the
+    smallest ids — the first is the canonical representative) and
+    n_docs is the full count.
+
+    Row-safety at web scale: a million byte-identical boilerplate
+    pages is ONE content_hash. An unbounded collect_list builds that
+    group into a single multi-million-element array row (the exact
+    failure ``lsh_candidate_pairs``'s max_bucket guards against), so
+    membership is rank-filtered BEFORE any list is aggregated: a
+    row_number window keyed on content_hash keeps the first max_ids
+    ids, and only those are collected. The window and the count
+    aggregate hash-partition on the same key, so the second stage
+    reuses the first's exchange. ``max_ids=None`` restores the
+    unbounded list for small exact baselines."""
+    hashed = docs.select(
+        F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("content_hash")
+    )
+    counts = (
+        hashed.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") > 1)
+    )
+    members = hashed
+    if max_ids is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("content_hash").orderBy("__id")
+        members = (
+            hashed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_ids)
+            .drop("__rn")
+        )
+    ids = members.groupBy("content_hash").agg(
+        F.sort_array(F.collect_list("__id")).alias("doc_ids")
+    )
+    return counts.join(ids, "content_hash").select(
+        "content_hash", "n_docs", "doc_ids"
     )
 
 
@@ -42,9 +72,21 @@ def _spread_small_input(df: DataFrame) -> DataFrame:
     """Tiny inputs (a single small parquet file) read as 1-2 partitions,
     serializing the tokenize/explode stage on one core. Spread them to
     the default parallelism; a no-op at real scale where the scan
-    already has >= defaultParallelism partitions."""
+    already has >= defaultParallelism partitions.
+
+    The probe is plan-free: `inputFiles()` reads leaf-scan metadata on
+    the driver without converting the plan to an RDD (df.rdd
+    materializes the RDD lineage — and in past Spark versions could
+    trigger job-side effects — on every call). Non-file sources
+    (in-memory test frames, streaming) report no files and are left
+    untouched: createDataFrame already spreads over the default
+    parallelism."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min(target, 8):
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        return df
+    if 0 < n_files < min(target, 8):
         return df.repartition(target)
     return df
 
@@ -162,12 +204,46 @@ def lsh_candidate_pairs(sigs: DataFrame, num_hashes: int = 8,
 
 
 def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
-                  candidates: DataFrame | None = None) -> DataFrame:
+                  candidates: DataFrame | None = None,
+                  max_shingle_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing >=1 shingle
-    (optionally restricted to LSH candidates): (doc_a, doc_b, jaccard)."""
+    (optionally restricted to LSH candidates): (doc_a, doc_b, jaccard).
+
+    Scale design: pruning happens BEFORE the expensive shingle
+    self-join, not after it —
+
+    - with ``candidates``, the shingle table is first left-semi-joined
+      to the candidate doc-id set, so only candidate documents' rows
+      enter the self-join (the exact pair restriction still applies
+      after the aggregate; denominators use the FULL per-doc shingle
+      counts, so the Jaccard value is unchanged);
+    - ``max_shingle_df`` optionally drops shingles occurring in more
+      than that many candidate documents from the intersection join: a
+      stop-word-ish 3-gram shared by n docs otherwise costs O(n^2)
+      join rows on its own. This makes the reported intersection a
+      lower bound (jaccard becomes a conservative underestimate), so
+      it is off by default — turn it on at web scale where hot
+      shingles carry no similarity signal anyway.
+    """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    joined_sh = sh
+    if candidates is not None:
+        cand_ids = (
+            candidates.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(candidates.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        joined_sh = joined_sh.join(cand_ids, "doc_id", "left_semi")
+    if max_shingle_df is not None:
+        hot = (
+            joined_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") > max_shingle_df)
+            .select("shingle")
+        )
+        joined_sh = joined_sh.join(hot, "shingle", "left_anti")
+    a = joined_sh.alias("a")
+    b = joined_sh.alias("b")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))

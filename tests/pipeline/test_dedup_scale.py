@@ -1,0 +1,98 @@
+"""Scale-safety behaviors of the dedup operators:
+
+- jaccard_pairs prunes to candidate documents BEFORE the shingle
+  self-join (left-semi in the plan) and can drop hot shingles;
+- exact_dedup_groups caps the materialized doc_ids list while keeping
+  the full count;
+- _spread_small_input never converts the plan to an RDD.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _sh(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, shingle string")
+
+
+def test_jaccard_candidates_semi_join_in_plan(spark):
+    from rdf_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for i in range(200):
+        rows += [(i, "hot shingle x"), (i, f"unique {i}")]
+    rows += [(0, "shared 01"), (1, "shared 01")]
+    sh = _sh(spark, rows)
+    cands = spark.createDataFrame([(0, 1)], "doc_a long, doc_b long")
+    out = jaccard_pairs(sh, threshold=0.0, candidates=cands)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, "candidate pruning must precede the self-join"
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # docs 0/1: shingles {hot, unique_i, shared01} -> inter=2, union=4
+    assert got == {(0, 1): 0.5}
+
+
+def test_jaccard_hot_shingle_cap_is_lower_bound(spark):
+    from rdf_spark.operators.dedup import jaccard_pairs
+
+    rows = []
+    for i in range(50):
+        rows += [(i, "hot shingle x"), (i, f"unique {i}")]
+    rows += [(0, "shared 01"), (1, "shared 01")]
+    sh = _sh(spark, rows)
+    capped = jaccard_pairs(sh, threshold=0.0, max_shingle_df=10)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in capped.collect()}
+    # hot shingle dropped from the intersection join: only (0, 1)
+    # survives, with inter=1 but FULL denominators (3 + 3 - 1)
+    assert got == {(0, 1): 0.2}
+    # uncapped finds all 50*49/2 hot pairs
+    assert jaccard_pairs(sh, threshold=0.0).count() == 50 * 49 // 2
+
+
+def test_jaccard_unrestricted_unchanged(spark):
+    from rdf_spark.operators.dedup import jaccard_pairs
+
+    sh = _sh(spark, [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "c")])
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in jaccard_pairs(sh, threshold=0.5).collect()}
+    assert got == {(1, 2): 1.0}
+
+
+def test_exact_dedup_groups_caps_ids_keeps_count(spark):
+    from rdf_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("same text").alias("text")
+    ).unionByName(spark.createDataFrame(
+        [(1000, "solo")], "doc_id long, text string"))
+    row = exact_dedup_groups(docs, max_ids=5).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_docs"] == 100
+    assert list(r["doc_ids"]) == [0, 1, 2, 3, 4]
+    # unbounded legacy path
+    full = exact_dedup_groups(docs, max_ids=None).collect()[0]
+    assert len(full["doc_ids"]) == 100
+
+
+def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    from rdf_spark.operators.dedup import _spread_small_input
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "x")], "doc_id long, text string") \
+        .coalesce(1).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    def boom(self):
+        raise AssertionError("df.rdd must not be touched")
+
+    monkeypatch.setattr(DataFrame, "rdd", property(boom))
+    out = _spread_small_input(df)
+    monkeypatch.undo()
+    # single-file scan spread to the default parallelism
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
