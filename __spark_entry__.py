@@ -667,15 +667,15 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 def q_web_url_normalize(spark, sf_dir):
-    """URL canonicalization + host/registrable-domain extraction over
-    synthesized crawl URLs (dedup keys, per-site caps, domain splits).
-    Pure SQL expressions; the oracle states the closed-form expected
-    outputs for each synthesized shape."""
-    from rdf_spark.functions.web import (
-        registrable_domain,
-        url_host,
-        url_normalize,
-    )
+    """URL canonicalization + host extraction (pure SQL expressions)
+    plus PSL-backed registrable-domain extraction (vendored
+    public-suffix subset, broadcast left joins) over synthesized crawl
+    URLs — dedup keys, per-site caps, domain-level train/test splits.
+    The oracle states the closed-form expected outputs for each
+    synthesized shape (Shop.Example.co.uk -> example.co.uk under the
+    PSL, NOT co.uk)."""
+    from rdf_spark.functions.psl import registrable_domain_psl
+    from rdf_spark.functions.web import url_host, url_normalize
 
     c = _read(spark, sf_dir, "customer")
     k = F.col("c_custkey").cast("string")
@@ -688,13 +688,13 @@ def q_web_url_normalize(spark, sf_dir):
               F.concat(F.lit("http://user:pw@Mirror.example.net:8080/x/"), k))
         .otherwise(F.concat(F.lit("mailto:someone"), k, F.lit("@example.org#sig")))
     )
-    return c.select(
+    base = c.select(
         F.col("c_custkey").alias("custkey"),
         url.alias("url"),
         url_normalize(url).alias("norm"),
         url_host(url).alias("host"),
-        registrable_domain(url).alias("domain"),
     )
+    return registrable_domain_psl(base, "url", "domain")
 
 
 def q_doc_pii(spark, sf_dir):
@@ -1430,7 +1430,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS host,
                    CASE c_custkey % 4
                      WHEN 0 THEN 'example.com'
-                     WHEN 1 THEN 'co.uk'
+                     WHEN 1 THEN 'example.co.uk'
                      WHEN 2 THEN 'example.net'
                      ELSE ''
                    END AS domain

@@ -15,8 +15,14 @@ from pyspark.sql import functions as F
 
 def url_host(url: Column) -> Column:
     """Lowercased host (authority minus userinfo/port); '' when the
-    URL has no '//' authority."""
-    host = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1)
+    URL has no '//' authority. IPv6 bracket literals are matched as a
+    unit ([::1]:8080 -> '[::1]') — the bracket alternation must come
+    first or the colon-terminated form stops at '['."""
+    host = F.regexp_extract(
+        url,
+        r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?(\[[^\]]*\]|[^/?#:]*)",
+        1,
+    )
     return F.lower(host)
 
 
@@ -49,8 +55,10 @@ def url_normalize(url: Column) -> Column:
 
 
 def registrable_domain(url: Column) -> Column:
-    """Last-two-labels heuristic for the registrable domain
-    (example.co.uk -> co.uk is WRONG under the real Public Suffix
-    List — this is the documented no-dependency approximation; swap in
-    a broadcast PSL table for production)."""
+    """Last-two-labels heuristic for the registrable domain — the
+    Public Suffix List's implicit default rule, correct only for
+    single-label public suffixes (example.co.uk -> co.uk is WRONG).
+    Use functions.psl.registrable_domain_psl (vendored PSL subset,
+    broadcast joins) wherever multi-label suffixes matter; this
+    column-expression form remains for suffixless quick passes."""
     return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)

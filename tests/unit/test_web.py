@@ -35,3 +35,53 @@ def test_registrable_domain_heuristic(spark):
     assert _one(spark, "http://a.b.example.com/x", registrable_domain) == "example.com"
     assert _one(spark, "http://localhost/x", registrable_domain) == ""
     assert _one(spark, "mailto:x@y.z", registrable_domain) == ""
+
+
+def test_ipv6_bracket_hosts(spark):
+    assert _one(spark, "http://[::1]:8080/p", url_host) == "[::1]"
+    assert _one(spark, "http://[2001:DB8::1]/p", url_host) == "[2001:db8::1]"
+    assert (_one(spark, "http://[::1]:8080/p#f", url_normalize)
+            == "http://[::1]:8080/p")
+    # default port still dropped for bracketed hosts
+    assert _one(spark, "http://[::1]:80/p", url_normalize) == "http://[::1]/p"
+
+
+def _psl(spark, url):
+    from rdf_spark.functions.psl import registrable_domain_psl
+
+    df = spark.createDataFrame([(url,)], "url string")
+    return registrable_domain_psl(df, "url").first()["domain"]
+
+
+def test_registrable_domain_psl(spark):
+    cases = {
+        # multi-label public suffixes (the heuristic's failure cases)
+        "http://example.co.uk/x": "example.co.uk",
+        "http://www.Example.co.uk/x": "example.co.uk",
+        "http://a.b.shop.example.com.au/": "example.com.au",
+        # 3-label plain rule
+        "http://school.act.edu.au/": "school.act.edu.au",
+        # wildcard TLD *.ck: any 2-label suffix is public
+        "http://foo.bar.ck/": "foo.bar.ck",
+        # default rule: unknown TLD -> last two labels
+        "http://a.b.example.com/x": "example.com",
+        "http://deep.sub.example.dev/": "example.dev",
+        # host IS a public suffix -> no registrable domain
+        "http://co.uk/": "",
+        "http://com/": "",
+        # hostless
+        "mailto:x@y.z": "",
+        "http://localhost/": "",
+    }
+    for url, want in cases.items():
+        assert _psl(spark, url) == want, url
+
+
+def test_psl_join_is_broadcast_only(spark):
+    from rdf_spark.functions.psl import registrable_domain_psl
+
+    df = spark.createDataFrame([("http://example.co.uk/",)], "url string")
+    plan = (registrable_domain_psl(df, "url")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
