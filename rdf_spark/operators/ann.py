@@ -106,15 +106,20 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
     w[plane][j] = (md5_int(plane|j) mod 2001 - 1000) / 1000 in [-1, 1].
     Same construction is reproducible in any engine with md5. The
     weight vector length follows size(vec) per row — no driver-side
-    action is needed to discover the dimensionality."""
+    action is needed to discover the dimensionality. Empty embeddings
+    get a defined 0 sign (an unguarded sequence(0, size-1) would
+    auto-step DOWN to [0, -1] and poison the weights with a bogus
+    2-element vector)."""
     weights = F.transform(
-        F.sequence(F.lit(0), F.size(vec) - 1),
+        F.sequence(F.lit(0), F.greatest(F.size(vec) - 1, F.lit(0))),
         lambda j: (
             F.conv(F.substring(F.md5(F.concat_ws("|", F.lit(str(plane)), j.cast("string"))), 1, 8), 16, 10)
             .cast("long") % 2001 - 1000
         ).cast("double") / 1000.0,
     )
-    return (_dot(vec, weights) >= 0).cast("int")
+    return F.when(F.size(vec) > 0, (_dot(vec, weights) >= 0).cast("int")).otherwise(
+        F.lit(0)
+    )
 
 
 def lsh_signature(vec: Column, planes: int) -> Column:
@@ -159,39 +164,67 @@ def lsh_topk(
     )
 
 
-def _assign_nearest(df: DataFrame, centroids: list[list[float]],
-                    vec_col: str, out_col: str = "centroid") -> DataFrame:
-    """Add `out_col` = index of the nearest centroid (squared-euclidean
-    argmin, first-index tie-break, distances rounded to 9dp for
-    engine-stable ties).
+def _broadcast_centroids(df: DataFrame, centroids: list[list[float]]):
+    """Ship the k x dim centroid matrix once per executor. Callers
+    that loop (kmeans_fit) must unpersist the returned broadcast after
+    each use or every Lloyd round leaks an executor-side copy."""
+    import numpy as np
 
-    Scale design: the k x dim centroid matrix ships ONCE per executor
-    via a Spark broadcast and scoring is one (batch x k) matrix product
-    per Arrow batch inside a vectorized pandas UDF — plan size and
-    codegen are O(1) in k. (The literal-inlining alternative builds one
-    Catalyst struct per centroid and blows up whole-stage codegen at
-    the nlist≈4k-64k a 100 TB IVF index needs.) No shuffle, no join."""
+    C = np.asarray(centroids, dtype=np.float64)
+    return df.sparkSession.sparkContext.broadcast(C)
+
+
+def _centroid_d2_udf(bc, n: int):
+    """Vectorized pandas UDF: top-``n`` nearest-centroid indices per
+    row (squared-euclidean, distances rounded to 9dp for engine-stable
+    ties, stable index ordering). One (batch x k) GEMM per Arrow batch;
+    plan size and codegen are O(1) in k. (The literal-inlining
+    alternative builds one Catalyst struct per centroid and blows up
+    whole-stage codegen at the nlist≈4k-64k a 100 TB IVF index
+    needs.) No shuffle, no join."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    C = np.asarray(centroids, dtype=np.float64)            # k x dim
-    bc = df.sparkSession.sparkContext.broadcast(C)
-
-    @pandas_udf("int")
-    def nearest(v: pd.Series) -> pd.Series:
+    @pandas_udf("array<int>")
+    def top_centroids(v: pd.Series) -> pd.Series:
         cm = bc.value
         X = np.asarray(v.tolist(), dtype=np.float64)       # B x dim
         if X.size == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="object")
         # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 (B x k, one GEMM)
-        d2 = (
+        d2 = np.round(
             (X * X).sum(axis=1, keepdims=True)
             - 2.0 * (X @ cm.T)
-            + (cm * cm).sum(axis=1)[None, :]
+            + (cm * cm).sum(axis=1)[None, :],
+            9,
         )
-        return pd.Series(np.round(d2, 9).argmin(axis=1).astype("int32"))
+        nn = min(n, d2.shape[1])
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :nn].astype("int32")
+        return pd.Series(list(idx))
 
-    return df.withColumn(out_col, nearest(F.col(vec_col)))
+    return top_centroids
+
+
+def _assign_nearest(df: DataFrame, centroids: list[list[float]],
+                    vec_col: str, out_col: str = "centroid",
+                    bc=None) -> DataFrame:
+    """Add `out_col` = index of the nearest centroid (squared-euclidean
+    argmin, first-index tie-break). Pass an existing broadcast via
+    ``bc`` to reuse it across calls (and own its unpersist)."""
+    if bc is None:
+        bc = _broadcast_centroids(df, centroids)
+    udf = _centroid_d2_udf(bc, 1)
+    return df.withColumn(out_col, udf(F.col(vec_col))[0])
+
+
+def _assign_topn(df: DataFrame, centroids: list[list[float]],
+                 vec_col: str, n: int, out_col: str = "centroid") -> DataFrame:
+    """Explode each row into its top-``n`` nearest centroids (the IVF
+    nprobe expansion for the QUERY side: n rows per query, joined
+    against the corpus's single-centroid assignment)."""
+    bc = _broadcast_centroids(df, centroids)
+    udf = _centroid_d2_udf(bc, n)
+    return df.withColumn(out_col, F.explode(udf(F.col(vec_col))))
 
 
 def kmeans_fit(
@@ -211,14 +244,20 @@ def kmeans_fit(
     init_rows = emb.orderBy(id_col).limit(k).select(vec_col).collect()
     centroids = [[float(x) for x in r[0]] for r in init_rows]
     for _ in range(iters):
-        assigned = _assign_nearest(emb, centroids, vec_col)
-        means = (
-            assigned.select("centroid",
-                            F.posexplode(F.col(vec_col)).alias("dim", "val"))
-            .groupBy("centroid", "dim")
-            .agg(F.avg("val").alias("m"))
-            .collect()
-        )
+        bc = _broadcast_centroids(emb, centroids)
+        try:
+            assigned = _assign_nearest(emb, centroids, vec_col, bc=bc)
+            means = (
+                assigned.select("centroid",
+                                F.posexplode(F.col(vec_col)).alias("dim", "val"))
+                .groupBy("centroid", "dim")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+        finally:
+            # collect() has executed the round; free the executor copy
+            # before the next round's broadcast
+            bc.unpersist()
         acc: dict[int, dict[int, float]] = {}
         for r in means:
             acc.setdefault(r["centroid"], {})[r["dim"]] = r["m"]
@@ -241,17 +280,23 @@ def ivf_kmeans_topk(
     k: int = 3,
     nlist: int = 8,
     iters: int = 3,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Full IVF: learn coarse centroids with deterministic k-means,
-    assign corpus AND queries with the same centroids, then search only
-    the query's cluster (nprobe=1). The 100 TB path: the index build is
-    one corpus pass per Lloyd round; the query join shuffles on a
-    k-ary key instead of |Q| x |C|."""
+    assign the corpus to its single nearest centroid, expand each QUERY
+    to its ``nprobe`` nearest centroids (the standard recall knob for
+    boundary queries — explode, then the same equi-join), and rank the
+    union of the probed clusters' candidates. The 100 TB path: the
+    index build is one corpus pass per Lloyd round; the query join
+    shuffles on a k-ary key instead of |Q| x |C|, and candidate volume
+    scales linearly with nprobe. Each corpus vector lives in exactly
+    one cluster, so probing n clusters never produces duplicate
+    (query, neighbor) rows and recall is monotone in nprobe."""
     cents = kmeans_fit(emb, k=nlist, iters=iters, id_col=id_col, vec_col=vec_col)
     return ivf_topk(
         kmeans_transform(emb, cents, vec_col),
-        kmeans_transform(queries, cents, vec_col),
+        _assign_topn(queries, cents, vec_col, nprobe),
         k=k, id_col=id_col, vec_col=vec_col, partition_col="centroid",
     )

@@ -45,6 +45,26 @@ def test_ivf_recall_vs_brute_force(emb):
     assert recall >= 0.6, recall  # nprobe=1 coarse search
 
 
+def test_ivf_recall_monotone_in_nprobe(emb):
+    """Probing more coarse clusters only adds candidates (the corpus is
+    single-assigned, so probed clusters are disjoint): recall vs brute
+    force must be monotone in nprobe, and nprobe == nlist is the
+    exhaustive search — recall exactly 1.0."""
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, q, k=3).collect()}
+
+    def recall(nprobe):
+        iv = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_kmeans_topk(emb, q, k=3, nlist=4, iters=2,
+                                       nprobe=nprobe).collect()}
+        return len(bf & iv) / len(bf)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 == 1.0, r4
+
+
 def test_large_nlist_no_plan_blowup(emb):
     """The broadcast-argmin assignment keeps plan size O(1) in k:
     nlist=256 must build a tiny plan (the literal-inlining formulation
@@ -78,6 +98,20 @@ def test_lsh_topk_construction_is_lazy(spark, emb):
     finally:
         sc.setJobGroup(None, None)
     assert df.count() >= 0  # and the plan still executes
+
+
+def test_lsh_signature_empty_vector_defined(spark):
+    """An empty embedding must produce a defined all-zero signature,
+    not a null from the descending [0, -1] auto-sequence."""
+    from rdf_spark.operators.ann import lsh_signature
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [])], "vec_id long, embedding array<double>"
+    )
+    got = {r["vec_id"]: r["sig"] for r in df.select(
+        "vec_id", lsh_signature(F.col("embedding"), 4).alias("sig")).collect()}
+    assert got[2] == "0000"
+    assert got[1] is not None and len(got[1]) == 4
 
 
 def test_ivf_exact_within_cluster(emb):
