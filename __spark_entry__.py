@@ -1449,12 +1449,12 @@ def oracle_sql() -> dict[str, str]:
                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
                        AS n_emails,
                    CAST(len(regexp_extract_all(text,
-                        '\+?[0-9][0-9 ()-]{6,}[0-9]')) AS INT) AS n_phones,
+                        '\+?[0-9](?:[ ()-]{0,2}[0-9]){6,14}')) AS INT) AS n_phones,
                    regexp_replace(
                        regexp_replace(text,
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
                            '<EMAIL>', 'g'),
-                       '\+?[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+                       '\+?[0-9](?:[ ()-]{0,2}[0-9]){6,14}', '<PHONE>', 'g') AS redacted
             FROM t
         """,
         "doc_repetition": r"""

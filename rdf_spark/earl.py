@@ -159,24 +159,30 @@ def earl_assertions(spark: SparkSession, outcomes, subject_iri: str,
 
 
 def _header_lines(project: dict, developer: dict, date: str) -> list[str]:
+    from .terms import escape_literal_lex as esc
+
+    # config-provided strings are interpolated into Turtle string
+    # literals — a quote/backslash/newline in a project name must not
+    # produce an invalid document
     lines = [f"@prefix {p}: <{ns}> ." for p, ns in PREFIXES.items()]
     lines.append("")
     d = developer
     lines.append(
         f"<{d['iri']}> a foaf:Person, earl:Assertor ; "
-        f"foaf:name \"{d['name']}\" ; foaf:title \"{d.get('title', '')}\" ; "
+        f"foaf:name \"{esc(d['name'])}\" ; "
+        f"foaf:title \"{esc(d.get('title', ''))}\" ; "
         f"foaf:mbox <{d.get('mbox', 'mailto:dev@example.org')}> ; "
         f"foaf:homepage <{d.get('homepage', d['iri'])}> ."
     )
     p = project
     implements = " , ".join(f"<{i}>" for i in p.get("implements", []))
     lines.append(
-        f"<{p['iri']}> a doap:Project ; doap:name \"{p['name']}\" ; "
+        f"<{p['iri']}> a doap:Project ; doap:name \"{esc(p['name'])}\" ; "
         f"doap:homepage <{p.get('homepage', p['iri'])}> ; "
         f"doap:license <{p.get('license', 'http://www.apache.org/licenses/LICENSE-2.0')}> ; "
-        f"doap:description \"{p.get('description', '')}\"@en ; "
+        f"doap:description \"{esc(p.get('description', ''))}\"@en ; "
         f"doap:created \"{date}\"^^xsd:date ; "
-        f"doap:programming-language \"{p.get('language', 'Python')}\" ; "
+        f"doap:programming-language \"{esc(p.get('language', 'Python'))}\" ; "
         + (f"doap:implements {implements} ; " if implements else "")
         + f"doap:developer <{d['iri']}> ."
     )

@@ -122,7 +122,10 @@ def repetition_ratio(text: Column, n: int = 3) -> Column:
 # (RE2): character classes and bounded repetition only — no
 # lookaround, no backreferences, so both dialects agree exactly.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PHONE_RE = r"\+?[0-9][0-9 ()-]{6,}[0-9]"
+# 7-15 ACTUAL digits (not run length — '2020 - 2023' is 11 chars but
+# only 4+4 digits) with at most 2 separator chars between consecutive
+# digits, so spaced year ranges / dash-separated ID lists don't redact
+PHONE_RE = r"\+?[0-9](?:[ ()-]{0,2}[0-9]){6,14}"
 
 
 def pii_counts(text: Column) -> Column:

@@ -66,10 +66,15 @@ def remove_boilerplate(docs: DataFrame, min_docs: int = 2,
     an equi-join on the line string (shuffle on the line key, same
     partitioning the frequency aggregate already produced); the
     re-assembly is one groupBy(doc_id) with an order-preserving
-    array_sort on (pos, line) structs."""
+    array_sort on (pos, line) structs.
+
+    Output cardinality EQUALS input cardinality: a document whose
+    every line is boilerplate (or whose text is empty) yields an
+    empty-text row rather than disappearing — downstream doc_id
+    joins/counts must not lose rows to curation."""
     bp = boilerplate_lines(docs, min_docs, id_col, text_col).select("line")
     kept = _lines(docs, id_col, text_col).join(bp, "line", "left_anti")
-    return (
+    assembled = (
         kept.groupBy("doc_id")
         .agg(
             F.array_join(
@@ -82,6 +87,10 @@ def remove_boilerplate(docs: DataFrame, min_docs: int = 2,
                 "\n",
             ).alias("text")
         )
+    )
+    all_ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_ids.join(assembled, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
     )
 
 

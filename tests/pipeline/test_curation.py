@@ -42,6 +42,17 @@ def test_remove_boilerplate_counts_docs_not_occurrences(spark):
     assert out[1] == "echo\necho\necho\necho\necho"
 
 
+def test_remove_boilerplate_keeps_all_doc_ids(spark):
+    # a doc whose EVERY line is boilerplate (and an empty doc) must
+    # survive as an empty-text row, not vanish from the output
+    rows = [(1, "SHARED\nunique one"), (2, "SHARED\nunique two"),
+            (3, "SHARED"), (4, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           remove_boilerplate(docs, min_docs=2).collect()}
+    assert out == {1: "unique one", 2: "unique two", 3: "", 4: ""}
+
+
 def test_stratified_sample_deterministic_and_subset(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),

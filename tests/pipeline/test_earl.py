@@ -51,6 +51,37 @@ def test_earl_dogfoods_through_own_turtle_parser(report_text):
                for i in tests)
 
 
+def test_header_escapes_config_strings(spark):
+    """Quotes/backslashes in config names must be escaped into valid
+    Turtle literals, verified by dogfood-parsing the header."""
+    from rdf_spark.earl import earl_report_text
+    from rdf_spark.grammar import turtle as ttl
+
+    from rdf_spark.terms import escape_literal_lex
+
+    raw = 'evil "name" \\ test'
+    proj = dict(PROJECT, name=raw, description="line1\nline2")
+    dev = dict(DEV, name='d "q"')
+    text = earl_report_text(spark, proj, dev, DATE, suites=("ntriples",))
+    triples = ttl.evaluate_document(
+        ttl.parse_document(text), base="http://example.org/report"
+    )
+    # expected lex = what the engine's parser produces for the same
+    # escaped literal in a minimal reference doc (the header must use
+    # exactly the serializer-side escaping, whatever the internal lex
+    # convention is)
+    ref = ttl.evaluate_document(
+        ttl.parse_document(
+            f'<http://e/s> <http://e/p> "{escape_literal_lex(raw)}" .'
+        ),
+        base="http://e/",
+    )
+    expected = ref[0][2][1]
+    names = {t[2][1] for t in triples
+             if t[1] == ("i", "http://usefulinc.com/ns/doap#name")}
+    assert expected in names
+
+
 def test_suite_outcomes_all_pass(spark):
     """All four suites report earl:passed for every entry (matches the
     kernel suite tallies in CONFORMANCE.json)."""
