@@ -167,6 +167,17 @@ def serialize_turtle_nested(triples: DataFrame,
     ``_:label`` blocks — still valid Turtle that re-parses to an equal
     document (the round-trip contract, terms.documents_equal).
 
+    rdf:first/rdf:rest chains re-nest as collections (reference
+    turtle/doc.go:735-744 prints ``( e1 e2 )``): a leaf bnode whose
+    pair set is exactly {rdf:first o, rdf:rest r} renders ``( o )``
+    when r is rdf:nil and prepends o onto an already-rendered inner
+    ``( ... )`` otherwise, so the chain folds inside the same
+    leaf-first rounds with no extra pass. Cells that are
+    multi-referenced or otherwise irregular (extra predicates,
+    rest pointing at a non-list) keep the ``[ ... ]`` / ``_:label``
+    forms. The empty collection has no bnode (it IS rdf:nil) and
+    prints as the compacted rdf:nil IRI — equivalent Turtle.
+
     Bnode labels must be globally unique across the input (they are
     document-scoped in RDF): run scope_bnodes()/skolemize() first when
     the table merges multiple documents, or colliding labels from
@@ -175,7 +186,7 @@ def serialize_turtle_nested(triples: DataFrame,
     An export/debug sink: the leaf-at-a-time loop runs one small join
     round per nesting level on the driver; route bulk exports through
     serialize_ntriples."""
-    from ..terms import RDF_TYPE
+    from ..terms import RDF_FIRST, RDF_NIL, RDF_REST, RDF_TYPE
 
     prefixes = prefixes or {}
     pred_str = F.when(F.col("pred") == RDF_TYPE, F.lit("a")).otherwise(
@@ -185,7 +196,7 @@ def serialize_turtle_nested(triples: DataFrame,
         F.col("obj_kind") == KIND_IRI, _compact(F.col("obj_lex"), prefixes)
     ).otherwise(obj_expr())
     cur = triples.select(
-        "subj_kind", "subj", pred_str.alias("p_str"),
+        "subj_kind", "subj", F.col("pred"), pred_str.alias("p_str"),
         "obj_kind", "obj_lex", obj_str.alias("o_str"),
     ).localCheckpoint()
 
@@ -221,18 +232,44 @@ def serialize_turtle_nested(triples: DataFrame,
         leaves = pending.join(blocked, "label", "left_anti")
         if leaves.isEmpty():
             break  # only cycles remain; they keep _:label form
+        items = F.col("items")
+        firsts = F.filter(items, lambda x: x["pred"] == RDF_FIRST)
+        rests = F.filter(items, lambda x: x["pred"] == RDF_REST)
+        is_cell = (
+            (F.size(items) == 2) & (F.size(firsts) == 1) & (F.size(rests) == 1)
+        )
+        # F.get is null-safe on the non-cell rows where the filtered
+        # arrays are empty (ANSI element_at would throw)
+        first_o = F.get(firsts, 0)["o_str"]
+        rest = F.get(rests, 0)
+        rest_is_nil = (rest["obj_kind"] == KIND_IRI) & (rest["obj_lex"] == RDF_NIL)
+        bracket = F.concat(
+            F.lit("[ "),
+            F.array_join(
+                F.sort_array(F.transform(
+                    items, lambda x: F.concat(x["p_str"], F.lit(" "), x["o_str"])
+                )),
+                " ; ",
+            ),
+            F.lit(" ]"),
+        )
+        block = (
+            F.when(is_cell & rest_is_nil,
+                   F.concat(F.lit("( "), first_o, F.lit(" )")))
+            .when(is_cell & rest["o_str"].startswith("( "),
+                  F.concat(F.lit("( "), first_o, F.lit(" "),
+                           F.substring(rest["o_str"], 3, 1 << 20)))
+            .otherwise(bracket)
+        )
         leaf_blocks = (
             cur.join(leaves, (F.col("subj_kind") == KIND_BNODE)
                      & (F.col("subj") == F.col("label")))
             .groupBy("label")
-            .agg(F.sort_array(F.collect_list(
-                F.concat(F.col("p_str"), F.lit(" "), F.col("o_str"))
-            )).alias("pairs"))
-            .select(
-                "label",
-                F.concat(F.lit("[ "), F.array_join(F.col("pairs"), " ; "),
-                         F.lit(" ]")).alias("block"),
-            )
+            .agg(F.collect_list(F.struct(
+                F.col("pred"), F.col("p_str"), F.col("o_str"),
+                F.col("obj_kind"), F.col("obj_lex"),
+            )).alias("items"))
+            .select("label", block.alias("block"))
         )
         # drop the leaves' own triples (guarded on bnode kind so an IRI
         # subject that happens to equal a label is untouched)
@@ -251,7 +288,7 @@ def serialize_turtle_nested(triples: DataFrame,
                 "left",
             )
             .select(
-                "subj_kind", "subj", "p_str",
+                "subj_kind", "subj", "pred", "p_str",
                 F.when(F.col("block").isNotNull(), F.lit(-1).cast("tinyint"))
                 .otherwise(F.col("obj_kind")).alias("obj_kind"),
                 "obj_lex",

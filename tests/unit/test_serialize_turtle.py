@@ -157,6 +157,79 @@ def test_nested_roundtrip_documents_equal(spark):
     assert documents_equal(want, got)
 
 
+TTL_COLLECTIONS = """@prefix ex: <http://ex/> .
+ex:s ex:list ( 1 2 3 ) ; ex:empty ( ) ; ex:one ( "x" ) .
+ex:t ex:mixed ( ex:a ( 4 5 ) ) .
+ex:u ex:also ex:shared .
+"""
+
+
+def test_collections_renested(spark):
+    """rdf:first/rest chains print as ( ... ) per reference
+    turtle/doc.go:735-744; the empty collection IS rdf:nil."""
+    from rdf_spark.functions.serialize import serialize_turtle_nested
+
+    prefixes = {"ex": "http://ex/",
+                "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+    t = _parse_pages_df(spark, TTL_COLLECTIONS)
+    out = {r["subj"]: r["value"] for r in
+           serialize_turtle_nested(t, prefixes).collect()}
+    s, tt = out["ex:s"], out["ex:t"]
+    assert 'ex:one ( "x" )' in s
+    assert "ex:empty rdf:nil" in s
+    assert s.count("( ") == 2 and "[ " not in s
+    # 3 integers in document order inside one ( )
+    import re
+
+    m = re.search(r"ex:list \( (.*?) \)", s)
+    assert m and [x for x in m.group(1).split() if x.startswith('"')] == [
+        '"1"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"2"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        '"3"^^<http://www.w3.org/2001/XMLSchema#integer>',
+    ]
+    # nested collection folds inside the outer one
+    assert "ex:mixed ( ex:a ( " in tt and tt.endswith(") ) .")
+
+
+def test_collections_roundtrip_documents_equal(spark):
+    from rdf_spark.functions.serialize import (
+        prefix_header,
+        serialize_turtle_nested,
+    )
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+    from rdf_spark.terms import documents_equal, sort_document
+
+    prefixes = {"ex": "http://ex/",
+                "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+    t = _parse_pages_df(spark, TTL_COLLECTIONS)
+    blocks = [r["value"] for r in
+              serialize_turtle_nested(t, prefixes).collect()]
+    doc = "\n".join(prefix_header(prefixes) + sorted(blocks)) + "\n"
+    got = sort_document(parse_and_evaluate(doc, "http://u/1"))
+    want = sort_document(parse_and_evaluate(TTL_COLLECTIONS, "http://u/1"))
+    assert documents_equal(want, got)
+
+
+def test_shared_list_cell_keeps_label_form(spark):
+    """A list cell referenced twice is NOT single-use: it must keep the
+    _:label form (inlining it would duplicate the node) and still
+    round-trip."""
+    from rdf_spark.functions.serialize import serialize_turtle_nested
+    from rdf_spark.terms import RDF_FIRST, RDF_NIL, RDF_REST
+
+    rows = [
+        (0, "http://ex/s", "http://ex/p", 1, "c0", None, None),
+        (0, "http://ex/t", "http://ex/p", 1, "c0", None, None),  # 2nd ref
+        (1, "c0", RDF_FIRST, 2, "v", None, None),
+        (1, "c0", RDF_REST, 0, RDF_NIL, None, None),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    out = {r["subj"]: r["value"] for r in
+           serialize_turtle_nested(t, {"ex": "http://ex/"}).collect()}
+    assert out["ex:s"] == "ex:s ex:p _:c0 ."
+    assert "_:c0" in out
+
+
 def test_nested_cycle_falls_back_to_labels(spark):
     """A bnode cycle can't inline; both nodes keep _:label blocks and
     the output still round-trips."""
