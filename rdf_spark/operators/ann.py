@@ -132,18 +132,38 @@ def lsh_topk(
     queries: DataFrame,
     k: int = 3,
     planes: int = 8,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: equi-join on the signature bucket;
-    recall trades off with `planes` (more planes -> smaller buckets).
-    Fully lazy — no driver action at construction time."""
+    recall trades off with `planes` (more planes -> smaller buckets)
+    and with ``nprobe`` (multi-probe: each query also searches the
+    buckets whose signature differs in one bit, in plane order, up to
+    nprobe buckets total — the standard recall knob without
+    re-hashing the corpus; candidate volume grows linearly). The
+    corpus stays single-bucketed and probe signatures are distinct, so
+    no duplicate (query, neighbor) candidates arise and recall is
+    monotone in nprobe. Fully lazy — no driver action at construction
+    time."""
     from pyspark.sql.window import Window
 
+    nprobe = max(1, min(nprobe, planes + 1))
     sig = lambda c: lsh_signature(c, planes)  # noqa: E731
+    exact = lsh_signature(F.col(vec_col), planes)
+    flipped = [
+        F.concat(
+            F.substring(exact, 1, i),
+            F.when(F.substring(exact, i + 1, 1) == "1", F.lit("0"))
+            .otherwise(F.lit("1")),
+            F.substring(exact, i + 2, planes),
+        )
+        for i in range(nprobe - 1)
+    ]
+    probes = F.slice(F.array(exact, *flipped), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        sig(F.col(vec_col)).alias("bucket"),
+        F.explode(probes).alias("bucket"),
     )
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),

@@ -100,6 +100,27 @@ def test_lsh_topk_construction_is_lazy(spark, emb):
     assert df.count() >= 0  # and the plan still executes
 
 
+def test_lsh_multiprobe_recall_monotone(emb):
+    """Multi-probe LSH only ADDS candidate buckets (probe signatures
+    are distinct, corpus single-bucketed): recall vs brute force is
+    monotone in nprobe, and nprobe=1 is the plain bucketed search."""
+    from rdf_spark.operators.ann import lsh_topk
+
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"])
+          for r in brute_force_topk(emb, q, k=3).collect()}
+
+    def recall(nprobe):
+        got = {(r["query_id"], r["neighbor_id"])
+               for r in lsh_topk(emb, q, k=3, planes=4,
+                                 nprobe=nprobe).collect()}
+        return len(bf & got) / len(bf)
+
+    r1, r3, r5 = recall(1), recall(3), recall(5)
+    assert r1 <= r3 <= r5, (r1, r3, r5)
+    assert r5 > r1 or r1 == 1.0, (r1, r5)  # probing must help here
+
+
 def test_lsh_signature_empty_vector_defined(spark):
     """An empty embedding must produce a defined all-zero signature,
     not a null from the descending [0, -1] auto-sequence."""
