@@ -729,6 +729,27 @@ def q_doc_repetition(spark, sf_dir):
     return d.select("doc_id", repetition_ratio(F.col("text")).alias("rep_ratio"))
 
 
+def q_web_domain_cap(spark, sf_dir):
+    """Per-registrable-domain document cap (PSL-backed): at most 25
+    docs per domain, lowest ids win (deterministic). The oracle
+    replays the same rank window over the closed-form domains."""
+    from rdf_spark.operators.curation import cap_per_domain
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    url = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("http://www.example.com/p/"), k))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("https://shop.example.co.uk/item/"), k))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("http://a.example.co.uk/x/"), k))
+        .otherwise(F.concat(F.lit("http://mirror.example.net/y/"), k))
+    )
+    docs = c.select(F.col("c_custkey").alias("doc_id"), url.alias("url"))
+    return cap_per_domain(docs, max_docs=25, url_col="url", id_col="doc_id")
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic per-language sampling via an md5-derived uniform
     hash — reproducible across runs/engines (map-only, no RNG)."""
@@ -1092,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_merge_canonical": q_rdf_merge_canonical,
         "rdf_po_map": q_rdf_po_map,
         "rdf_add_remove": q_rdf_add_remove,
+        "web_domain_cap": q_web_domain_cap,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
     }
 
@@ -1474,6 +1496,30 @@ def oracle_sql() -> dict[str, str]:
                          THEN 1.0 - len(list_distinct(g)) * 1.0 / len(g)
                          ELSE 0.0 END, 4) AS rep_ratio
             FROM grams
+        """,
+        "web_domain_cap": """
+            WITH docs AS (
+                SELECT c_custkey AS doc_id,
+                       CASE c_custkey % 4
+                         WHEN 0 THEN 'http://www.example.com/p/' || c_custkey
+                         WHEN 1 THEN 'https://shop.example.co.uk/item/' || c_custkey
+                         WHEN 2 THEN 'http://a.example.co.uk/x/' || c_custkey
+                         ELSE 'http://mirror.example.net/y/' || c_custkey
+                       END AS url,
+                       CASE c_custkey % 4
+                         WHEN 0 THEN 'example.com'
+                         WHEN 1 THEN 'example.co.uk'
+                         WHEN 2 THEN 'example.co.uk'
+                         ELSE 'example.net'
+                       END AS dom
+                FROM customer
+            ), ranked AS (
+                SELECT doc_id, url,
+                       row_number() OVER (PARTITION BY dom
+                                          ORDER BY doc_id) AS rn
+                FROM docs
+            )
+            SELECT doc_id, url FROM ranked WHERE rn <= 25
         """,
         "doc_stratified_sample": """
             SELECT doc_id, lang FROM documents

@@ -192,3 +192,36 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 2048,
         pack,
         schema="doc_id long, n_tokens int, bucket int, seq_id long, seq_offset long",
     )
+
+
+def cap_per_domain(docs: DataFrame, max_docs: int,
+                   url_col: str = "url",
+                   id_col: str = "doc_id",
+                   order_col: str | None = None) -> DataFrame:
+    """Keep at most ``max_docs`` documents per registrable domain —
+    the per-site cap that stops template-heavy hosts from dominating a
+    training corpus (domains via the PSL broadcast join in
+    functions/psl.py, so example.co.uk and shop.example.co.uk share
+    one budget while example.com keeps its own).
+
+    Selection is deterministic: rank by ``order_col`` DESCENDING
+    (e.g. a quality score — keep the best) then by id ascending as
+    the tie-break; without an order column, the lowest ids win. One
+    broadcast-join domain derivation (no shuffle) + one rank window on
+    the domain key (one exchange) — the same shape at 10^12 rows,
+    where the domain key is the natural skew dimension the cap itself
+    bounds: every partition's output is <= max_docs * domains."""
+    from pyspark.sql.window import Window
+
+    from ..functions.psl import registrable_domain_psl
+
+    with_domain = registrable_domain_psl(docs, url_col, "__domain")
+    order = [F.col(id_col).asc()]
+    if order_col is not None:
+        order = [F.col(order_col).desc()] + order
+    w = Window.partitionBy("__domain").orderBy(*order)
+    return (
+        with_domain.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= max_docs)
+        .drop("__rank", "__domain")
+    )

@@ -53,6 +53,27 @@ def test_remove_boilerplate_keeps_all_doc_ids(spark):
     assert out == {1: "unique one", 2: "unique two", 3: "", 4: ""}
 
 
+def test_cap_per_domain(spark):
+    """Subdomains of one registrable domain share a single budget;
+    order_col keeps the BEST rows, default keeps the lowest ids."""
+    from rdf_spark.operators.curation import cap_per_domain
+
+    rows = [
+        (1, "http://a.example.co.uk/1", 0.9),
+        (2, "http://b.example.co.uk/2", 0.5),
+        (3, "http://example.co.uk/3", 0.7),
+        (4, "http://other.com/4", 0.1),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    ids = {r["doc_id"] for r in cap_per_domain(docs, 2).collect()}
+    assert ids == {1, 2, 4}  # example.co.uk budget=2 -> lowest ids
+    best = {r["doc_id"]
+            for r in cap_per_domain(docs, 2, order_col="q").collect()}
+    assert best == {1, 3, 4}  # highest q wins within the shared budget
+    # schema passes through unchanged
+    assert cap_per_domain(docs, 2).columns == ["doc_id", "url", "q"]
+
+
 def test_stratified_sample_deterministic_and_subset(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),
