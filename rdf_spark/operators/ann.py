@@ -75,7 +75,12 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-style ANN: candidates restricted to the query's coarse
     partition (equi-join on the partition column replaces the cross
-    join — shuffle on a low-cardinality key instead of |Q| x |C|)."""
+    join — shuffle on a low-cardinality key instead of |Q| x |C|).
+
+    Pre-assigned labels carry no geometry, so there is no nprobe here:
+    multi-cluster probing needs centroid distances — use
+    ivf_kmeans_topk(nprobe=...) for the tunable-recall form (it feeds
+    this same join with an exploded query-side assignment)."""
     from pyspark.sql.window import Window
 
     q = queries.select(
