@@ -77,6 +77,49 @@ def test_registrable_domain_psl(spark):
         assert _psl(spark, url) == want, url
 
 
+def test_psl_matches_reference_algorithm_in_batch(spark):
+    """The broadcast-join matcher must agree with an independent
+    driver-side implementation of the publicsuffix.org algorithm
+    (restricted to the vendored subset) over a systematic host corpus."""
+    from rdf_spark.functions.psl import (
+        PSL_SUFFIXES,
+        PSL_WILDCARD_TLDS,
+        registrable_domain_psl,
+    )
+
+    p3 = {s for s in PSL_SUFFIXES if s.count(".") == 2}
+    p2 = {s for s in PSL_SUFFIXES if s.count(".") == 1}
+    wild = set(PSL_WILDCARD_TLDS)
+
+    def ref(host):
+        labels = host.split(".") if host else [""]
+        nl = len(labels)
+        if nl >= 3 and ".".join(labels[-3:]) in p3:
+            slen = 3
+        elif (nl >= 2 and ".".join(labels[-2:]) in p2) or (
+            labels[-1] in wild and nl >= 2
+        ):
+            slen = 2
+        else:
+            slen = 1
+        return ".".join(labels[-(slen + 1):]) if nl > slen else ""
+
+    suffixes = ["co.uk", "com.au", "act.edu.au", "edu.au", "ck", "bd",
+                "com", "dev", "uk", "jp", "co.jp", "waw.pl", "k12.il"]
+    prefixes = ["", "x", "x.y", "deep.a.b"]
+    hosts = []
+    for sfx in suffixes:
+        for pre in prefixes:
+            hosts.append(f"{pre}.{sfx}".strip("."))
+    hosts += ["localhost", "co.uk", "act.edu.au", "ck"]
+    rows = [(h, f"http://{h}/p") for h in sorted(set(hosts))]
+    df = spark.createDataFrame(rows, "host string, url string")
+    got = {r["host"]: r["domain"]
+           for r in registrable_domain_psl(df, "url").collect()}
+    for h in got:
+        assert got[h] == ref(h), (h, got[h], ref(h))
+
+
 def test_psl_join_is_broadcast_only(spark):
     from rdf_spark.functions.psl import registrable_domain_psl
 
