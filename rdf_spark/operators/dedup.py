@@ -400,10 +400,23 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     return src.mapInPandas(run, schema="doc_id long, simhash long")
 
 
-def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_dups(sig: DataFrame, max_hamming: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance. Candidate
     generation by 16-bit band equality (4 bands over 64 bits): any pair
-    within Hamming distance 3 shares at least one exact band."""
+    within Hamming distance 3 shares at least one exact band.
+
+    ``max_bucket`` bounds the quadratic blowup of pathological band
+    buckets (millions of byte-identical boilerplate pages share one
+    simhash, hence all four buckets) with the same star-pair design as
+    ``lsh_candidate_pairs``: members of oversized buckets pair only
+    with the bucket's minimum doc_id (hamming still computed and
+    filtered exactly), so output is linear in the bucket size and
+    connected components are preserved whenever the oversized bucket
+    is dominated by one near-identical group — the web-scale case the
+    cap exists for. Pairs between two non-min members of an oversized
+    bucket are not emitted (documented approximation). None (default)
+    = exact all-pairs, which is what the DuckDB oracle computes."""
     bands = []
     for b in range(4):
         bands.append(
@@ -415,20 +428,44 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = 3) -> DataFrame:
     ab = bands[0]
     for x in bands[1:]:
         ab = ab.unionByName(x)
-    a, b = ab.alias("a"), ab.alias("b")
-    pairs = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+
+    def all_pairs(src: DataFrame) -> DataFrame:
+        a, b = src.alias("a"), src.alias("b")
+        return (
+            a.join(b, ["band", "bucket"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"),
+                F.col("a.simhash").alias("ha"), F.col("b.simhash").alias("hb"),
+            )
+            .distinct()
+            .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+            .where(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b", "hamming")
         )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .where(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+
+    if max_bucket is None:
+        return all_pairs(ab)
+    stats = ab.groupBy("band", "bucket").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min("doc_id").alias("__mn"),
+        F.min_by("simhash", "doc_id").alias("__mns"),
     )
-    return pairs
+    joined = ab.join(stats, ["band", "bucket"])
+    small = all_pairs(
+        joined.where(F.col("__n") <= max_bucket)
+        .select("doc_id", "simhash", "band", "bucket")
+    )
+    big = (
+        joined.where((F.col("__n") > max_bucket) & (F.col("doc_id") != F.col("__mn")))
+        .select(
+            F.col("__mn").alias("doc_a"), F.col("doc_id").alias("doc_b"),
+            F.bit_count(F.col("__mns").bitwiseXOR(F.col("simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return small.unionByName(big).distinct()
 
 
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",

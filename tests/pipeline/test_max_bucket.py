@@ -27,6 +27,37 @@ def test_max_bucket_star_pairs_same_components(spark):
     assert {r for r in a} == {r for r in b}
 
 
+def test_simhash_max_bucket_star_pairs(spark):
+    """simhash_near_dups mirrors the LSH star-pair cap: oversized band
+    buckets emit linear member->min pairs with exact hamming."""
+    from rdf_spark.operators.dedup import dup_clusters, simhash_near_dups
+
+    rows = [(i, 0x1234) for i in range(30)]          # one near-dup blob
+    rows += [(100, -42), (101, -42)]                  # distinct small pair
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    exact = simhash_near_dups(sig, max_hamming=3)
+    capped = simhash_near_dups(sig, max_hamming=3, max_bucket=5)
+    assert exact.count() == 30 * 29 // 2 + 1
+    assert capped.count() == 29 + 1
+    assert {r["hamming"] for r in capped.collect()} == {0}
+    a = {tuple(sorted((r["doc_id"], r["cluster_id"])))
+         for r in dup_clusters(exact.select("doc_a", "doc_b")).collect()}
+    b = {tuple(sorted((r["doc_id"], r["cluster_id"])))
+         for r in dup_clusters(capped.select("doc_a", "doc_b")).collect()}
+    assert a == b
+
+
+def test_simhash_max_bucket_small_buckets_exact(spark):
+    from rdf_spark.operators.dedup import simhash_near_dups
+
+    rows = [(1, 7), (2, 7), (3, 1 << 40)]
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    exact = sorted(map(tuple, simhash_near_dups(sig, 3).collect()))
+    capped = sorted(map(tuple,
+                        simhash_near_dups(sig, 3, max_bucket=10).collect()))
+    assert exact == capped == [(1, 2, 0)]
+
+
 def test_max_bucket_small_buckets_exact(spark):
     from rdf_spark.operators.dedup import lsh_candidate_pairs
 
