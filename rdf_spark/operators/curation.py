@@ -161,7 +161,12 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 2048,
     each group's state is one running counter. Deterministic end to
     end: bucket = hash(doc_id), scan order = doc_id order. A resumed
     or re-run job packs identically (no RNG, no partition-order
-    dependence)."""
+    dependence).
+
+    Sizing: applyInPandas materializes one bucket (3 narrow columns)
+    per task, so choose ``buckets ≈ corpus_rows / 5M`` at scale — at
+    10^12 documents that is ~200k buckets, each a ~100 MB pandas
+    frame; the 256 default fits corpora up to the low billions."""
     import pandas as pd
 
     from ..functions.text import token_count

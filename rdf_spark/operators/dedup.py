@@ -229,7 +229,6 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
       it is off by default — turn it on at web scale where hot
       shingles carry no similarity signal anyway.
     """
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     joined_sh = sh
     if candidates is not None:
         cand_ids = (
@@ -238,6 +237,11 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.8,
             .distinct()
         )
         joined_sh = joined_sh.join(cand_ids, "doc_id", "left_semi")
+    # denominators AFTER the candidate restriction (identical values —
+    # the semi-join keeps every shingle of a surviving doc — without
+    # aggregating the full corpus) but BEFORE the hot-shingle cap
+    # (which deliberately removes rows and must not shrink union sizes)
+    sizes = joined_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     if max_shingle_df is not None:
         hot = (
             joined_sh.groupBy("shingle")
