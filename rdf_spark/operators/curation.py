@@ -202,7 +202,8 @@ def pack_sequences(docs: DataFrame, max_tokens: int = 2048,
 def cap_per_domain(docs: DataFrame, max_docs: int,
                    url_col: str = "url",
                    id_col: str = "doc_id",
-                   order_col: str | None = None) -> DataFrame:
+                   order_col: str | None = None,
+                   salts: int = 16) -> DataFrame:
     """Keep at most ``max_docs`` documents per registrable domain —
     the per-site cap that stops template-heavy hosts from dominating a
     training corpus (domains via the PSL broadcast join in
@@ -211,11 +212,18 @@ def cap_per_domain(docs: DataFrame, max_docs: int,
 
     Selection is deterministic: rank by ``order_col`` DESCENDING
     (e.g. a quality score — keep the best) then by id ascending as
-    the tie-break; without an order column, the lowest ids win. One
-    broadcast-join domain derivation (no shuffle) + one rank window on
-    the domain key (one exchange) — the same shape at 10^12 rows,
-    where the domain key is the natural skew dimension the cap itself
-    bounds: every partition's output is <= max_docs * domains."""
+    the tie-break; without an order column, the lowest ids win.
+
+    Skew design: the domain key is the natural hot key (one mega-host
+    can be a double-digit share of a crawl), and a single rank window
+    on it would sort that domain in ONE task. So ranking is two-phase
+    salted top-N: phase 1 ranks within (domain, hash-salt) — the hot
+    domain fans out over ``salts`` tasks — and keeps max_docs rows per
+    salt; phase 2 ranks the survivors (<= salts * max_docs rows per
+    domain, bounded regardless of input skew) on the bare domain key.
+    The phase-1 per-salt top-N provably contains the domain's global
+    top-N, so the result is identical to the single-window form.
+    Domain derivation itself is broadcast-join only, no shuffle."""
     from pyspark.sql.window import Window
 
     from ..functions.psl import registrable_domain_psl
@@ -224,9 +232,14 @@ def cap_per_domain(docs: DataFrame, max_docs: int,
     order = [F.col(id_col).asc()]
     if order_col is not None:
         order = [F.col(order_col).desc()] + order
-    w = Window.partitionBy("__domain").orderBy(*order)
+    salt = (stratum_hash(F.col(id_col)) % salts).cast("int")
+    w1 = Window.partitionBy("__domain", "__salt").orderBy(*order)
+    w2 = Window.partitionBy("__domain").orderBy(*order)
     return (
-        with_domain.withColumn("__rank", F.row_number().over(w))
+        with_domain.withColumn("__salt", salt)
+        .withColumn("__r1", F.row_number().over(w1))
+        .where(F.col("__r1") <= max_docs)
+        .withColumn("__rank", F.row_number().over(w2))
         .where(F.col("__rank") <= max_docs)
-        .drop("__rank", "__domain")
+        .drop("__r1", "__rank", "__salt", "__domain")
     )

@@ -74,6 +74,21 @@ def test_cap_per_domain(spark):
     assert cap_per_domain(docs, 2).columns == ["doc_id", "url", "q"]
 
 
+def test_cap_per_domain_salted_equals_global_topn(spark):
+    """The two-phase salted ranking must equal the global top-N for a
+    single hot domain (the skew case the salting exists for)."""
+    from rdf_spark.operators.curation import cap_per_domain
+
+    rows = [(i, "http://hot.example.com/%d" % i, float((i * 37) % 101))
+            for i in range(500)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, q double")
+    got = {r["doc_id"]
+           for r in cap_per_domain(docs, 20, order_col="q").collect()}
+    want = {i for i, _, _ in
+            sorted(rows, key=lambda r: (-r[2], r[0]))[:20]}
+    assert got == want and len(got) == 20
+
+
 def test_stratified_sample_deterministic_and_subset(spark):
     df = spark.range(2000).select(
         F.col("id").alias("doc_id"),
