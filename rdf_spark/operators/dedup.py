@@ -42,7 +42,14 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     join — measured 2x faster than the count-aggregate + join
     formulation), rows past max_ids are dropped, and only the
     survivors are collected. ``max_ids=None`` restores the unbounded
-    list for small exact baselines."""
+    list for small exact baselines.
+
+    Bound: the window computes each group inside one task, so the
+    LARGEST duplicate group is processed serially — fine through
+    ~10^7-member groups (narrow rows, one sort); beyond that,
+    pre-aggregate counts per (hash, salt) and rank members per salt
+    first (the cap_per_domain two-phase pattern — per-salt smallest-N
+    contains the global smallest-N)."""
     hashed = docs.select(
         F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("content_hash")
     )
