@@ -131,3 +131,36 @@ def test_lsh_max_bucket_reuses_signature_exchange(spark):
     plan = _plan(df)
     assert "ReusedExchange" in plan or "ReusedQueryStage" in plan or \
         "TableCacheQueryStage" in plan
+
+
+def test_exact_dedup_single_exchange(spark, tmp_path):
+    """The rank-window form of exact_dedup_groups must shuffle the
+    corpus exactly once (both window specs and the final partial
+    aggregate share the content_hash partitioning)."""
+    from rdf_spark.operators.dedup import exact_dedup_groups
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "t%d" % (i % 3)) for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    plan = _plan(exact_dedup_groups(spark.read.parquet(p)))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_domain_cap_no_shuffle_beyond_rank_windows(spark, tmp_path):
+    """cap_per_domain: domain derivation is broadcast-join only; the
+    only exchanges are the two rank windows' hash partitionings (salted
+    then bare domain key)."""
+    from rdf_spark.operators.curation import cap_per_domain
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "http://ex%d.example.com/p" % (i % 4)) for i in range(20)],
+        "doc_id long, url string",
+    ).write.parquet(p)
+    plan = _plan(cap_per_domain(spark.read.parquet(p), 3))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # the PSL suffix joins
