@@ -1,0 +1,91 @@
+"""End-to-end curation plan (rdf_spark.plans.curation): planted
+boilerplate, junk, exact dups and near dups are dropped in order,
+everything else survives, and a re-run is identical."""
+
+import pytest
+
+from rdf_spark.plans.curation import curate_corpus
+
+GOOD = ("the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the quiet woods to rest for a while "
+        "before returning home at dusk with calm steady steps")
+
+
+def _corpus(spark):
+    near = GOOD.replace("dusk", "dawn")        # near-dup of GOOD
+    rows = [
+        (1, "BANNER\n" + GOOD + "\nFOOTER", "http://a.example.com/1", "en"),
+        (2, "BANNER\n" + GOOD + "\nFOOTER", "http://b.example.com/2", "en"),
+        (3, "BANNER\n" + near + "\nFOOTER", "http://a.example.com/3", "en"),
+        (4, "BANNER\ntoo short\nFOOTER", "http://a.example.com/4", "en"),
+        (5, "BANNER\n" + GOOD.replace("fox", "cat") + "\nFOOTER",
+         "http://c.example.com/5", "de"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, url string, lang string"
+    )
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    # boilerplate threshold 3: BANNER/FOOTER (5 docs) are template,
+    # but the GOOD body shared by the two exact-dup docs (2 docs) is
+    # NOT — so the dup pair reaches the exact-dedup stage intact
+    return curate_corpus(
+        _corpus(spark), min_tokens=20, boilerplate_min_docs=3,
+        num_hashes=4, url_col="url",
+    )
+
+
+def test_stage_order_and_counts(result):
+    rep = dict(result.report())
+    assert rep["input"] == 5
+    assert rep["boilerplate"] == 5          # rows survive, text shrinks
+    assert rep["quality"] == 4              # doc 4 too_short
+    assert rep["exact_dedup"] == 3          # doc 2 == doc 1 byte-identical
+    assert rep["near_dedup"] <= 3           # doc 3 may cluster with doc 1
+    assert list(result.stages) == ["input", "boilerplate", "quality",
+                                   "exact_dedup", "near_dedup"]
+
+
+def test_boilerplate_stripped_columns_ride_along(result):
+    rows = {r["doc_id"]: r for r in result.stages["boilerplate"].collect()}
+    assert "BANNER" not in rows[1]["text"] and "FOOTER" not in rows[1]["text"]
+    assert rows[1]["url"] == "http://a.example.com/1"
+    assert rows[1]["lang"] == "en"
+
+
+def test_exact_dup_keeps_min_id(result):
+    kept = {r["doc_id"] for r in result.stages["exact_dedup"].collect()}
+    assert 1 in kept and 2 not in kept
+
+
+def test_rerun_identical(spark, result):
+    again = curate_corpus(
+        _corpus(spark), min_tokens=20, boilerplate_min_docs=3,
+        num_hashes=4, url_col="url",
+    )
+    a = sorted(r["doc_id"] for r in result.kept.collect())
+    b = sorted(r["doc_id"] for r in again.kept.collect())
+    assert a == b
+
+
+def test_domain_cap_and_sampling_stages(spark):
+    docs = _corpus(spark)
+    r = curate_corpus(
+        docs, min_tokens=5, boilerplate_min_docs=None, num_hashes=4,
+        url_col="url", max_docs_per_domain=1,
+        lang_col="lang", lang_fractions={"en": 1.0, "de": 1.0},
+    )
+    assert "domain_cap" in r.stages and "sample" in r.stages
+    kept = {row["doc_id"] for row in r.kept.collect()}
+    # every distinct registrable domain contributes at most 1 doc
+    doms = [row["url"].split("/")[2].split(".", 1)[1]
+            for row in r.kept.collect()]
+    assert len(doms) == len(set(doms))
+    assert kept  # sampling at fraction 1.0 drops nothing
+
+
+def test_domain_cap_requires_url(spark):
+    with pytest.raises(ValueError):
+        curate_corpus(_corpus(spark), max_docs_per_domain=1)
