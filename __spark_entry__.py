@@ -842,6 +842,28 @@ def q_doc_ngram_jaccard(spark, sf_dir):
     return jaccard_pairs(shingles(d, n=3), threshold=0.5)
 
 
+def q_doc_lsh_jaccard(spark, sf_dir):
+    """The production near-dedup verification chain: MinHash-LSH
+    candidate pairs, then EXACT n-gram Jaccard computed only for the
+    candidates (jaccard_pairs semi-joins the shingle table to the
+    candidate doc ids before its self-join; the final inner join to
+    the pair set is the authoritative restriction the oracle
+    replays)."""
+    from rdf_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    sh = shingles(d, n=3)
+    cands = lsh_candidate_pairs(
+        minhash_signatures(sh, num_hashes=4), num_hashes=4, band_size=2
+    )
+    return jaccard_pairs(sh, threshold=0.3, candidates=cands)
+
+
 def q_doc_dup_clusters(spark, sf_dir):
     """Connected components over the MinHash-LSH candidate graph:
     (doc_id, cluster_id=min reachable doc_id) — the final step of
@@ -945,6 +967,30 @@ def q_mm_decode_resize(spark, sf_dir):
     out = resize_images(decode_images(media), 4, 4)
     return out.select("media_id", "width", "height", "channels",
                       F.hex(F.col("pixels")).alias("pixels_hex"))
+
+
+def q_mm_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan: pure SQL fan-out (sequence+explode)
+    of per-video frame timestamps; null/zero durations yield exactly
+    one frame at t=0. The decode of each frame is the stubbed step —
+    the distribution of work is the real, oracled part."""
+    from rdf_spark.operators.multimodal import frame_sample_plan
+
+    c = _read(spark, sf_dir, "customer")
+    dur = F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("int")) \
+        .otherwise(((F.col("c_custkey") % 7) * 800).cast("int"))
+    media = c.select(
+        F.col("c_custkey").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.lit(None).cast("binary").alias("content"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        dur.alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )
 
 
 def q_doc_simhash_pairs(spark, sf_dir):
@@ -1114,6 +1160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_po_map": q_rdf_po_map,
         "rdf_add_remove": q_rdf_add_remove,
         "web_domain_cap": q_web_domain_cap,
+        "mm_frame_plan": q_mm_frame_plan,
+        "doc_lsh_jaccard": q_doc_lsh_jaccard,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
     }
 
@@ -1682,6 +1730,37 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE round(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
         """,
+        "doc_lsh_jaccard": _SHINGLES_CTE + """
+            , sigs AS (
+                SELECT doc_id,
+                       min(md5('s0|' || shingle)) AS mh_0,
+                       min(md5('s1|' || shingle)) AS mh_1,
+                       min(md5('s2|' || shingle)) AS mh_2,
+                       min(md5('s3|' || shingle)) AS mh_3
+                FROM sh GROUP BY doc_id
+            ), bands AS (
+                SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS bucket FROM sigs
+                UNION ALL
+                SELECT doc_id, 2 AS band, md5(mh_2 || '|' || mh_3) AS bucket FROM sigs
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b USING (band, bucket)
+                WHERE a.doc_id < b.doc_id
+            ), sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                FROM sh a JOIN sh b USING (shingle)
+                WHERE a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT i.doc_a, i.doc_b,
+                   round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) AS jaccard
+            FROM inter i
+            JOIN cand USING (doc_a, doc_b)
+            JOIN sizes sa ON sa.doc_id = i.doc_a
+            JOIN sizes sb ON sb.doc_id = i.doc_b
+            WHERE round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 4) >= 0.3
+        """,
         "emb_topk_cosine": """
             WITH scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -1803,6 +1882,17 @@ def oracle_sql() -> dict[str, str]:
             FROM bands a JOIN bands b USING (band, bucket)
             WHERE a.doc_id < b.doc_id
               AND bit_count(xor(a.simhash, b.simhash)) <= 8
+        """,
+        # Spark's sequence(0, dur-1, step) == DuckDB's range(0, dur,
+        # step); null/zero durations collapse to the single frame 0 on
+        # both sides (greatest guards).
+        "mm_frame_plan": """
+            SELECT c_custkey AS media_id, CAST(f AS BIGINT) AS frame_ts_ms
+            FROM customer,
+                 UNNEST(range(0,
+                        greatest(CASE WHEN c_custkey % 5 = 0 THEN 0
+                                      ELSE (c_custkey % 7) * 800 END, 1),
+                        1000)) AS t(f)
         """,
         # LSH signatures recomputed in SQL: hyperplane weight w[p][j] =
         # (int(md5(p|'|'|j)[:8 hex]) % 2001 - 1000)/1000, sign of the
