@@ -210,6 +210,55 @@ def test_collections_roundtrip_documents_equal(spark):
     assert documents_equal(want, got)
 
 
+def test_collections_randomized_roundtrip(spark):
+    """Seeded randomized structures: nested/empty/singleton collections
+    mixed with bnode property lists must all round-trip to an equal
+    document through the pretty-printer."""
+    import random
+
+    from rdf_spark.functions.serialize import (
+        prefix_header,
+        serialize_turtle_nested,
+    )
+    from rdf_spark.grammar.turtle import parse_and_evaluate
+    from rdf_spark.terms import documents_equal, sort_document
+
+    rng = random.Random(7)
+    prefixes = {"ex": "http://ex/",
+                "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#"}
+
+    def element(depth):
+        kind = rng.choice(["int", "str", "iri", "list", "bnpl"]
+                          if depth < 3 else ["int", "str", "iri"])
+        if kind == "int":
+            return str(rng.randrange(100))
+        if kind == "str":
+            return '"v%d"' % rng.randrange(100)
+        if kind == "iri":
+            return "ex:e%d" % rng.randrange(50)
+        if kind == "bnpl":
+            return '[ ex:k "%d" ]' % rng.randrange(100)
+        return collection(depth + 1)
+
+    def collection(depth=1):
+        n = rng.choice([0, 1, 2, 3])
+        return "( " + " ".join(element(depth) for _ in range(n)) + " )"
+
+    for trial in range(6):
+        body = "".join(
+            "ex:s%d ex:p%d %s .\n" % (trial, i, collection())
+            for i in range(3)
+        )
+        doc = "@prefix ex: <http://ex/> .\n" + body
+        t = _parse_pages_df(spark, doc)
+        blocks = [r["value"] for r in
+                  serialize_turtle_nested(t, prefixes).collect()]
+        out = "\n".join(prefix_header(prefixes) + sorted(blocks)) + "\n"
+        got = sort_document(parse_and_evaluate(out, "http://u/1"))
+        want = sort_document(parse_and_evaluate(doc, "http://u/1"))
+        assert documents_equal(want, got), doc
+
+
 def test_shared_list_cell_keeps_label_form(spark):
     """A list cell referenced twice is NOT single-use: it must keep the
     _:label form (inlining it would duplicate the node) and still
