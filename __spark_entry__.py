@@ -1027,6 +1027,17 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+def q_emb_lsh_near_dups(spark, sf_dir):
+    """LSH-bucketed embedding near-dup PAIRS (the pair-generation
+    scale path; within-bucket exact cosine). The md5-derived
+    hyperplanes are engine-portable, so the oracle recomputes the
+    identical signatures and the same within-bucket join."""
+    from rdf_spark.operators.dedup import embedding_near_dups_lsh
+
+    e = _read(spark, sf_dir, "embeddings")
+    return embedding_near_dups_lsh(e, threshold=0.35, planes=4)
+
+
 def q_kg_pipeline(spark, sf_dir):
     """Full KG construction over synthesized pages: parse -> skolemize
     -> link -> canonical dedupe. Oracle-checked end-to-end on the
@@ -1162,8 +1173,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_domain_cap": q_web_domain_cap,
         "mm_frame_plan": q_mm_frame_plan,
         "doc_lsh_jaccard": q_doc_lsh_jaccard,
+        "emb_lsh_near_dups": q_emb_lsh_near_dups,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
     }
+
+
+# shared by the emb_lsh_* oracles: recompute the random-hyperplane
+# signatures in SQL — hyperplane weight w[p][j] = (int(md5(p|'|'|j)
+# [:8 hex]) % 2001 - 1000)/1000, sign of the dot product per plane
+_EMB_LSH_SIGS_CTE = r"""
+    WITH dims AS (
+        SELECT unnest(range((SELECT max(len(embedding))
+                             FROM embeddings))) AS j
+    ), w AS (
+        SELECT pl.plane, dims.j,
+               ((CAST(list_sum(list_transform(range(8), i ->
+                   (strpos('0123456789abcdef',
+                           substr(md5(pl.plane || '|' || dims.j),
+                                  i + 1, 1)) - 1)
+                   * power(16, 7 - i))) AS BIGINT)) % 2001 - 1000)
+               / 1000.0 AS wt
+        FROM (SELECT unnest(range(4)) AS plane) pl, dims
+    ), vecdims AS (
+        SELECT vec_id, s.j - 1 AS j, embedding[s.j] AS val
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS s(j)
+    ), dots AS (
+        SELECT v.vec_id, w.plane, sum(v.val * w.wt) AS dot
+        FROM vecdims v JOIN w ON w.j = v.j
+        GROUP BY 1, 2
+    ), sigs AS (
+        SELECT d.vec_id, e.embedding,
+               string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY plane) AS bucket
+        FROM dots d JOIN embeddings e ON e.vec_id = d.vec_id
+        GROUP BY d.vec_id, e.embedding
+    )
+"""
 
 
 # hex-char runs for the mm_decode_resize oracle: one 3-byte pixel at
@@ -1894,36 +1939,10 @@ def oracle_sql() -> dict[str, str]:
                                       ELSE (c_custkey % 7) * 800 END, 1),
                         1000)) AS t(f)
         """,
-        # LSH signatures recomputed in SQL: hyperplane weight w[p][j] =
-        # (int(md5(p|'|'|j)[:8 hex]) % 2001 - 1000)/1000, sign of the
-        # dot product per plane, exact-bucket join, cosine top-3.
-        "emb_lsh_topk": r"""
-            WITH dims AS (
-                SELECT unnest(range((SELECT max(len(embedding))
-                                     FROM embeddings))) AS j
-            ), w AS (
-                SELECT pl.plane, dims.j,
-                       ((CAST(list_sum(list_transform(range(8), i ->
-                           (strpos('0123456789abcdef',
-                                   substr(md5(pl.plane || '|' || dims.j),
-                                          i + 1, 1)) - 1)
-                           * power(16, 7 - i))) AS BIGINT)) % 2001 - 1000)
-                       / 1000.0 AS wt
-                FROM (SELECT unnest(range(4)) AS plane) pl, dims
-            ), vecdims AS (
-                SELECT vec_id, s.j - 1 AS j, embedding[s.j] AS val
-                FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS s(j)
-            ), dots AS (
-                SELECT v.vec_id, w.plane, sum(v.val * w.wt) AS dot
-                FROM vecdims v JOIN w ON w.j = v.j
-                GROUP BY 1, 2
-            ), sigs AS (
-                SELECT d.vec_id, e.embedding,
-                       string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END,
-                                  '' ORDER BY plane) AS bucket
-                FROM dots d JOIN embeddings e ON e.vec_id = d.vec_id
-                GROUP BY d.vec_id, e.embedding
-            ), scored AS (
+        # LSH signatures via _EMB_LSH_SIGS_CTE, exact-bucket join,
+        # cosine top-3.
+        "emb_lsh_topk": _EMB_LSH_SIGS_CTE + """
+            , scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                        round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos
                 FROM sigs q JOIN sigs c
@@ -1936,6 +1955,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 3
+        """,
+        "emb_lsh_near_dups": _EMB_LSH_SIGS_CTE + """
+            SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+            FROM sigs a JOIN sigs b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
         """,
         # end-to-end pipeline: parse (nation Turtle) -> skolemize
         # (no-op: corpus has no bnodes) -> entity link (region surface

@@ -479,6 +479,74 @@ def simhash_near_dups(sig: DataFrame, max_hamming: int = 3,
     return small.unionByName(big).distinct()
 
 
+def embedding_near_dups_lsh(emb: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.95,
+                            planes: int = 8,
+                            max_bucket: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS at scale: bucket vectors
+    by their random-hyperplane LSH signature (deterministic md5
+    hyperplanes, engine-portable — same construction as ann.lsh_topk)
+    and compare only within buckets: (doc_a, doc_b, cos, 4dp).
+
+    This is the pair-generation scale path embedding_near_dups points
+    at: candidate volume is sum-of-bucket-sizes-squared, tuned by
+    ``planes`` (more planes -> smaller buckets, lower recall for
+    borderline pairs). ``max_bucket`` star-pairs oversized buckets
+    (member vs bucket-min, cosine still computed exactly) — the same
+    linear-output guard as the MinHash/SimHash variants, for the
+    near-zero vectors or template embeddings that pile into one
+    signature at web scale. None = exact within-bucket all-pairs
+    (what the DuckDB oracle computes)."""
+    from .ann import _dot, _norm, lsh_signature
+
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    ).withColumn("n", _norm(F.col("v")))
+
+    def cos_of(av, an, bv, bn):
+        return F.round(_dot(av, bv) / (an * bn), 4)
+
+    if max_bucket is None:
+        a, b = e.alias("a"), e.alias("b")
+        return (
+            a.join(b, "bucket")
+            .where(F.col("a.id") < F.col("b.id"))
+            .withColumn("cos", cos_of(F.col("a.v"), F.col("a.n"),
+                                      F.col("b.v"), F.col("b.n")))
+            .where(F.col("cos") >= threshold)
+            .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                    "cos")
+        )
+    stats = e.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("__bn"),
+        F.min("id").alias("__mn"),
+        F.min_by("v", "id").alias("__mv"),
+        F.min_by("n", "id").alias("__mnn"),
+    )
+    joined = e.join(stats, "bucket")
+    a = joined.where(F.col("__bn") <= max_bucket).alias("a")
+    b = joined.where(F.col("__bn") <= max_bucket).alias("b")
+    small = (
+        a.join(b, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .withColumn("cos", cos_of(F.col("a.v"), F.col("a.n"),
+                                  F.col("b.v"), F.col("b.n")))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"),
+                "cos")
+    )
+    big = (
+        joined.where((F.col("__bn") > max_bucket) & (F.col("id") != F.col("__mn")))
+        .withColumn("cos", cos_of(F.col("__mv"), F.col("__mnn"),
+                                  F.col("v"), F.col("n")))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("__mn").alias("doc_a"), F.col("id").alias("doc_b"), "cos")
+    )
+    return small.unionByName(big)
+
+
 def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         threshold: float = 0.95,
@@ -488,7 +556,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
     (IVF-style pruning). Without a label column the only exact plan is
     a full cross join — quadratic, never acceptable at scale — so it
     raises unless ``allow_brute_force=True`` (small exact baselines
-    only); the scale paths are ann.lsh_topk / ann.ivf_kmeans_topk or
+    only); the scale paths are embedding_near_dups_lsh (bucketed pair
+    generation), ann.lsh_topk / ann.ivf_kmeans_topk (top-k), or
     simhash banding."""
     from .ann import _dot, _norm
 
@@ -500,7 +569,8 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         raise ValueError(
             "embedding_near_dups without a `label` column is a quadratic "
             "cross join; pass allow_brute_force=True for small exact "
-            "baselines or use ann.lsh_topk / ann.ivf_kmeans_topk"
+            "baselines or use embedding_near_dups_lsh / ann.lsh_topk / "
+            "ann.ivf_kmeans_topk"
         )
     e = emb.select(*cols).withColumn("n", _norm(F.col("v")))
     a, b = e.alias("a"), e.alias("b")

@@ -58,6 +58,24 @@ def test_simhash_max_bucket_small_buckets_exact(spark):
     assert exact == capped == [(1, 2, 0)]
 
 
+def test_emb_lsh_near_dups_max_bucket(spark):
+    """Oversized LSH signature buckets emit member->min star pairs
+    with exact cosine; small buckets stay all-pairs."""
+    from rdf_spark.operators.dedup import embedding_near_dups_lsh
+
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(20)]      # one blob
+    rows += [(100, [-1.0, -2.0, -3.0]), (101, [-1.0, -2.0, -3.1])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = embedding_near_dups_lsh(emb, threshold=0.9, planes=4)
+    capped = embedding_near_dups_lsh(emb, threshold=0.9, planes=4,
+                                     max_bucket=5)
+    assert exact.count() == 20 * 19 // 2 + 1
+    assert capped.count() == 19 + 1
+    star = {(r["doc_a"], r["doc_b"]): r["cos"] for r in capped.collect()}
+    assert all(a == 0 for (a, b) in star if b < 100)       # star center
+    assert star[(100, 101)] >= 0.99                        # exact cosine
+
+
 def test_max_bucket_small_buckets_exact(spark):
     from rdf_spark.operators.dedup import lsh_candidate_pairs
 
