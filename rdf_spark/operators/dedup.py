@@ -506,7 +506,9 @@ def embedding_near_dups_lsh(emb: DataFrame, id_col: str = "vec_id",
     ).withColumn("n", _norm(F.col("v")))
 
     def cos_of(av, an, bv, bn):
-        return F.round(_dot(av, bv) / (an * bn), 4)
+        # zero-norm vectors have no defined cosine: null (never >= the
+        # threshold) instead of a divide-by-zero error under ANSI mode
+        return F.when(an * bn > 0, F.round(_dot(av, bv) / (an * bn), 4))
 
     if max_bucket is None:
         a, b = e.alias("a"), e.alias("b")
@@ -581,7 +583,10 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         pairs.where(cond)
         .withColumn(
             "cos",
-            F.round(_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 4),
+            F.when(  # null cos for zero-norm vectors (ANSI-safe)
+                F.col("a.n") * F.col("b.n") > 0,
+                F.round(_dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n")), 4),
+            ),
         )
         .where(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "cos")
