@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..operators.curation import (
@@ -49,10 +49,33 @@ class CurationResult:
 
     kept: DataFrame
     stages: dict[str, DataFrame] = field(default_factory=dict)
+    observations: dict[str, Observation] = field(default_factory=dict)
 
     def report(self) -> list[tuple[str, int]]:
-        """[(stage, surviving_docs)] in run order — small driver-side
-        counts (one aggregate per stage), the tuning dashboard."""
+        """[(stage, surviving_docs)] in run order — the tuning
+        dashboard.
+
+        With ``observe_counts=True`` (the scale path) the counts are
+        ``df.observe`` metrics collected as rows flow through the
+        chain's own materialization: the early stages are filled by
+        the near-dup clustering's internal jobs, and the tail needs at
+        most ONE ``kept`` count here — never a per-stage recompute of
+        the whole chain.  (Named CollectMetrics nodes aggregate once
+        per query even when the observed subtree appears in several
+        downstream branches — verified empirically for the self-join
+        and anti-join shapes this chain uses.)
+
+        Without it, falls back to one count per stage DataFrame: each
+        of those recomputes its full upstream lineage, so an S-stage
+        report costs O(S^2) passes — fine for tuning runs at small sf,
+        wrong at scale.
+        """
+        if self.observations:
+            # one action over the final plan fills every observation
+            # that the chain's construction-time jobs didn't already
+            self.kept.count()
+            return [(name, int(obs.get["rows"]))
+                    for name, obs in self.observations.items()]
         return [(name, df.count()) for name, df in self.stages.items()]
 
 
@@ -73,14 +96,31 @@ def curate_corpus(
     lang_col: str | None = None,
     lang_fractions: dict[str, float] | None = None,
     default_fraction: float = 1.0,
+    observe_counts: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; pass None to skip an optional
     stage (boilerplate, domain cap, sampling). Non-text columns
     (url, lang, ...) ride along unchanged; boilerplate removal
-    rewrites only the text column."""
+    rewrites only the text column.
+
+    ``observe_counts=True`` instruments every stage boundary with a
+    ``df.observe`` row counter so ``CurationResult.report()`` costs at
+    most one extra job instead of recomputing the chain per stage —
+    use it whenever the drop report will actually be read at scale.
+    """
     other_cols = [c for c in docs.columns if c not in (id_col, text_col)]
-    stages: dict[str, DataFrame] = {"input": docs}
-    cur = docs
+    stages: dict[str, DataFrame] = {}
+    observations: dict[str, Observation] = {}
+
+    def _stage(name: str, df: DataFrame) -> DataFrame:
+        if observe_counts:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+            observations[name] = obs
+        stages[name] = df
+        return df
+
+    cur = _stage("input", docs)
 
     if boilerplate_min_docs is not None:
         cleaned = remove_boilerplate(
@@ -88,8 +128,7 @@ def curate_corpus(
         ).withColumnRenamed("doc_id", id_col)
         if other_cols:
             cleaned = cleaned.join(cur.drop(text_col), id_col)
-        cur = cleaned.select(id_col, text_col, *other_cols)
-        stages["boilerplate"] = cur
+        cur = _stage("boilerplate", cleaned.select(id_col, text_col, *other_cols))
 
     verdicts = filter_verdicts(
         cur, id_col=id_col, text_col=text_col,
@@ -99,8 +138,7 @@ def curate_corpus(
     keep_ids = verdicts.where(F.col("keep")).select(
         F.col("doc_id").alias(id_col)
     )
-    cur = cur.join(keep_ids, id_col, "left_semi")
-    stages["quality"] = cur
+    cur = _stage("quality", cur.join(keep_ids, id_col, "left_semi"))
 
     # exact dedup: one aggregate for the min-id representative per
     # content hash, then a semi-join — no per-group arrays anywhere
@@ -110,8 +148,7 @@ def curate_corpus(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
     )
-    cur = cur.join(reps, id_col, "left_semi")
-    stages["exact_dedup"] = cur
+    cur = _stage("exact_dedup", cur.join(reps, id_col, "left_semi"))
 
     sigs = minhash_signatures(
         shingles(cur, id_col=id_col, text_col=text_col, n=shingle_n),
@@ -124,24 +161,21 @@ def curate_corpus(
     dupes = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         F.col("doc_id").alias(id_col)
     )
-    cur = cur.join(dupes, id_col, "left_anti")
-    stages["near_dedup"] = cur
+    cur = _stage("near_dedup", cur.join(dupes, id_col, "left_anti"))
 
     if max_docs_per_domain is not None:
         if url_col is None:
             raise ValueError("max_docs_per_domain requires url_col")
-        cur = cap_per_domain(
+        cur = _stage("domain_cap", cap_per_domain(
             cur, max_docs_per_domain, url_col=url_col, id_col=id_col
-        )
-        stages["domain_cap"] = cur
+        ))
 
     if lang_fractions is not None:
         if lang_col is None:
             raise ValueError("lang_fractions requires lang_col")
-        cur = stratified_sample(
+        cur = _stage("sample", stratified_sample(
             cur, lang_col, lang_fractions, id_col=id_col,
             default_fraction=default_fraction,
-        )
-        stages["sample"] = cur
+        ))
 
-    return CurationResult(kept=cur, stages=stages)
+    return CurationResult(kept=cur, stages=stages, observations=observations)

@@ -89,3 +89,40 @@ def test_domain_cap_and_sampling_stages(spark):
 def test_domain_cap_requires_url(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), max_docs_per_domain=1)
+
+
+def _jobs_in_group(spark, group, fn):
+    """Run fn() inside a job group; return (result, jobs_spawned)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group, False)
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup(None, None, False)
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_observed_report_matches_counts_in_one_pass(spark):
+    # observe_counts=True must (a) reproduce the legacy per-stage
+    # recount exactly and (b) cost report() exactly ONE materialization
+    # of `kept` — not one full-chain recompute per stage.  "One job"
+    # isn't measurable directly (AQE spawns a job per shuffle stage and
+    # every broadcast exchange is its own job), so the bar is: report()
+    # spawns no more jobs than a plain kept.count(), and strictly fewer
+    # than the legacy per-stage recount.
+    legacy_result = curate_corpus(
+        _corpus(spark), min_tokens=20, boilerplate_min_docs=3,
+        num_hashes=4, url_col="url",
+    )
+    legacy, legacy_jobs = _jobs_in_group(
+        spark, "legacy-report", legacy_result.report)
+    observed = curate_corpus(
+        _corpus(spark), min_tokens=20, boilerplate_min_docs=3,
+        num_hashes=4, url_col="url", observe_counts=True,
+    )
+    _, baseline_jobs = _jobs_in_group(
+        spark, "kept-count", observed.kept.count)
+    rep, report_jobs = _jobs_in_group(spark, "obs-report", observed.report)
+    assert rep == legacy
+    assert report_jobs <= baseline_jobs, (report_jobs, baseline_jobs)
+    assert report_jobs < legacy_jobs, (report_jobs, legacy_jobs)
