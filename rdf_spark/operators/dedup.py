@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 
 def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
-                       max_ids: int | None = 32) -> DataFrame:
+                       max_ids: int | None = 32,
+                       salts: int | None = None) -> DataFrame:
     """Groups of byte-identical documents: (content_hash, n_docs,
     doc_ids) where doc_ids holds at most ``max_ids`` members (the
     smallest ids — the first is the canonical representative) and
@@ -44,12 +45,18 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
     survivors are collected. ``max_ids=None`` restores the unbounded
     list for small exact baselines.
 
-    Bound: the window computes each group inside one task, so the
-    LARGEST duplicate group is processed serially — fine through
-    ~10^7-member groups (narrow rows, one sort); beyond that,
-    pre-aggregate counts per (hash, salt) and rank members per salt
-    first (the cap_per_domain two-phase pattern — per-salt smallest-N
-    contains the global smallest-N)."""
+    Skew escalation (``salts``): the window computes each group inside
+    one task, so with ``salts=None`` the LARGEST duplicate group is
+    processed serially — fine through ~10^7-member groups (narrow
+    rows, one sort). Past that, pass ``salts=K``: phase 1 ranks and
+    counts within (content_hash, hash-salt) — the giant group fans out
+    over K tasks — and keeps only ``max_ids`` rows per salt; phase 2
+    merges the survivors (<= K * max_ids rows per hash, bounded
+    regardless of skew) with an ordinary aggregate, summing the
+    per-salt counts carried on each salt's rank-1 row. The per-salt
+    smallest-``max_ids`` provably contains the global
+    smallest-``max_ids``, so the output is identical to the
+    single-window form (the parity test plants a 10^5-member group)."""
     hashed = docs.select(
         F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("content_hash")
     )
@@ -63,6 +70,28 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
             .where(F.col("n_docs") > 1)
         )
     from pyspark.sql.window import Window
+
+    if salts is not None:
+        salt = (F.xxhash64(F.col("__id")) % salts + salts) % salts
+        w1 = Window.partitionBy("content_hash", "__salt")
+        w1o = w1.orderBy("__id")
+        return (
+            hashed.withColumn("__salt", salt.cast("int"))
+            .select(
+                "content_hash", "__id",
+                F.count(F.lit(1)).over(w1).alias("__n_s"),
+                F.row_number().over(w1o).alias("__rn"),
+            )
+            .where(F.col("__rn") <= max_ids)
+            .groupBy("content_hash")
+            .agg(
+                F.sum(F.when(F.col("__rn") == 1, F.col("__n_s"))).alias("n_docs"),
+                F.slice(F.sort_array(F.collect_list("__id")), 1, max_ids)
+                .alias("doc_ids"),
+            )
+            .where(F.col("n_docs") > 1)
+            .select("content_hash", "n_docs", "doc_ids")
+        )
 
     w = Window.partitionBy("content_hash")
     wo = w.orderBy("__id")

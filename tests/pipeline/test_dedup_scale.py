@@ -78,6 +78,34 @@ def test_exact_dedup_groups_caps_ids_keeps_count(spark):
     assert len(full["doc_ids"]) == 100
 
 
+def test_exact_dedup_salted_matches_single_window(spark):
+    """A 10^5-member duplicate group: the salted two-phase path must
+    return exactly the single-window result, and its plan must never
+    sort the whole group in one task — the bottom window partitions by
+    (content_hash, __salt), so the giant group fans out over salts."""
+    from rdf_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.range(0, 100_000).select(
+        F.col("id").alias("doc_id"), F.lit("mega boilerplate").alias("text")
+    ).unionByName(spark.range(200_000, 200_010).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("pair"), (F.col("id") % 5).cast("string")).alias("text"),
+    ))
+    plain = {(r["content_hash"], r["n_docs"], tuple(r["doc_ids"]))
+             for r in exact_dedup_groups(docs, max_ids=8).collect()}
+    salted_df = exact_dedup_groups(docs, max_ids=8, salts=16)
+    salted = {(r["content_hash"], r["n_docs"], tuple(r["doc_ids"]))
+              for r in salted_df.collect()}
+    assert salted == plain
+    assert any(n == 100_000 for _, n, _ in salted)  # the giant group
+
+    plan = salted_df._jdf.queryExecution().executedPlan().toString()
+    windows = [ln for ln in plan.splitlines() if "Window" in ln]
+    # every window (there is one, phase 1) is salt-partitioned; the
+    # merge is a plain aggregate, so no full-group single-task sort
+    assert windows and all("__salt" in ln for ln in windows), plan
+
+
 def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
     from pyspark.sql import DataFrame
 
