@@ -16,10 +16,20 @@ Matching rules (publicsuffix.org algorithm, documented subset):
 - the implicit default rule ``*`` makes an unknown TLD itself the
   suffix (registrable = last two labels) — exactly the heuristic,
   which therefore remains the correct fallback for TLDs not listed;
-- exception rules (``!www.ck``) and IDN/punycode suffixes are NOT in
-  this subset — regenerate PSL_SUFFIXES from the full list for
-  production (the join shape does not change: the PSL is ~10k rows,
-  trivially broadcastable).
+- a multi-label wildcard rule ``*.base`` (e.g. ``*.kawasaki.jp``)
+  makes every (len(base)+1)-label suffix under the base public;
+- an exception rule ``!host`` (e.g. ``!www.ck``) overrides every
+  wildcard/plain rule: the public suffix is the exception minus its
+  leftmost label, so the exception host itself is registrable;
+- IDN hosts: matching is in punycode (ASCII) space. Pass
+  ``idna=True`` to lower Unicode hosts through an Arrow-batched IDNA
+  encode first (so ``пример.рф`` and ``xn--e1afmkfd.xn--p1ai`` key to
+  the same registrable domain); the default keeps the pure-JVM path
+  and leaves non-ASCII hosts in Unicode form (still grouped
+  consistently with themselves via the default rule).
+- vendored subset only — regenerate the rule tuples from the full
+  list for production (the join shape does not change: the PSL is
+  ~10k rows, trivially broadcastable).
 
 A host that IS a public suffix (host='co.uk') has no registrable
 domain and yields ''.
@@ -27,7 +37,9 @@ domain and yields ''.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .web import url_host
@@ -130,10 +142,26 @@ PSL_SUFFIXES: tuple[str, ...] = (
 )
 
 # TLDs whose PSL entry is the full wildcard `*.tld` (every 2-label
-# suffix is public). Exception rules (e.g. !www.ck) are out of scope
-# for this subset.
+# suffix is public).
 PSL_WILDCARD_TLDS: tuple[str, ...] = (
     "bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg",
+)
+
+# Multi-label wildcard rule bases: `*.base` makes every suffix one
+# label below `base` public (the PSL's Japanese city blocks).
+PSL_WILDCARD_BASES: tuple[str, ...] = (
+    "kawasaki.jp", "kitakyushu.jp", "kobe.jp", "nagoya.jp",
+    "sapporo.jp", "sendai.jp", "yokohama.jp",
+)
+
+# Exception rules (`!host` in the PSL): the host itself is registrable
+# — its public suffix is the rule minus the leftmost label. These
+# override the wildcards above.
+PSL_EXCEPTIONS: tuple[str, ...] = (
+    "www.ck",
+    "city.kawasaki.jp", "city.kitakyushu.jp", "city.kobe.jp",
+    "city.nagoya.jp", "city.sapporo.jp", "city.sendai.jp",
+    "city.yokohama.jp",
 )
 
 
@@ -143,27 +171,59 @@ def public_suffix_df(spark, suffixes=PSL_SUFFIXES) -> DataFrame:
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
+@F.pandas_udf("string")
+def idna_ascii_host(hosts: pd.Series) -> pd.Series:
+    """Punycode (IDNA ASCII) form of a host — ``пример.рф`` ->
+    ``xn--e1afmkfd.xn--p1ai``. ASCII hosts (the overwhelming majority
+    of a web corpus) pass through with one C-level isascii() check per
+    value; hosts the codec rejects (empty labels, brackets, over-long
+    labels) are returned unchanged rather than erroring — for a
+    grouping key, a stable passthrough beats a poisoned batch."""
+
+    def enc(h):
+        if h is None or h.isascii():
+            return h
+        try:
+            return h.encode("idna").decode("ascii")
+        except UnicodeError:
+            return h
+
+    return hosts.map(enc)
+
+
 def registrable_domain_psl(
     df: DataFrame,
     url_col: str = "url",
     out_col: str = "domain",
     suffixes=PSL_SUFFIXES,
     wildcard_tlds=PSL_WILDCARD_TLDS,
+    wildcard_bases=PSL_WILDCARD_BASES,
+    exceptions=PSL_EXCEPTIONS,
+    idna: bool = False,
 ) -> DataFrame:
     """Add ``out_col`` = PSL registrable domain of ``url_col``.
 
     Two broadcast LEFT joins (last-3-label and last-2-label suffix
     candidates against the rule table) — map-side only, no shuffle of
-    ``df``; longest match wins, wildcard TLDs force a 2-label suffix,
-    anything unmatched falls back to the default rule (suffix = TLD,
+    ``df``; exception rules beat everything, then the longest match
+    wins, wildcard TLDs/bases force a 2-/3-label suffix, anything
+    unmatched falls back to the default rule (suffix = TLD,
     registrable = last two labels). '' when the host is empty or is
-    itself a public suffix."""
+    itself a public suffix. The handful of wildcard-base and
+    exception rules compile to in-row ``isin`` literals (whole-stage
+    codegen), not joins. ``idna=True`` additionally lowers Unicode
+    hosts to punycode (Arrow-batched) before matching, so both
+    spellings of an IDN host share one domain key — leave it off to
+    keep the plan entirely JVM-side when the corpus is ASCII-hosted."""
     spark = df.sparkSession
     psl = public_suffix_df(spark, suffixes)
     p3 = psl.where(F.col("n_labels") == 3).select(F.col("suffix").alias("__sfx3"))
     p2 = psl.where(F.col("n_labels") == 2).select(F.col("suffix").alias("__sfx2"))
 
-    labels = F.split(url_host(F.col(url_col)), r"\.")
+    host = url_host(F.col(url_col))
+    if idna:
+        host = idna_ascii_host(host)
+    labels = F.split(host, r"\.")
     nl = F.size(labels)
     last_k = lambda k: F.when(  # noqa: E731
         nl >= k, F.array_join(F.slice(labels, nl - (k - 1), k), ".")
@@ -179,8 +239,14 @@ def registrable_domain_psl(
     wildcard = F.element_at(F.col("__labels"), -1).isin(*wildcard_tlds) & (
         F.col("__nl") >= 2
     )
+    exc2 = [e for e in exceptions if e.count(".") == 1]
+    exc3 = [e for e in exceptions if e.count(".") == 2]
     slen = (
-        F.when(F.col("__sfx3").isNotNull(), 3)
+        F.when(F.col("__s3").isin(*exc3) if exc3 else F.lit(False), 2)
+        .when(F.col("__s2").isin(*exc2) if exc2 else F.lit(False), 1)
+        .when(F.col("__sfx3").isNotNull(), 3)
+        .when(F.col("__s2").isin(*wildcard_bases) if wildcard_bases
+              else F.lit(False), 3)
         .when(F.col("__sfx2").isNotNull() | wildcard, 2)
         .otherwise(1)
     )

@@ -72,9 +72,38 @@ def test_registrable_domain_psl(spark):
         # hostless
         "mailto:x@y.z": "",
         "http://localhost/": "",
+        # exception rule !www.ck: www.ck itself is registrable
+        "http://www.ck/": "www.ck",
+        "http://foo.www.ck/": "www.ck",
+        # exception under a multi-label wildcard (!city.kawasaki.jp)
+        "http://city.kawasaki.jp/": "city.kawasaki.jp",
+        "http://sub.city.kawasaki.jp/": "city.kawasaki.jp",
+        # multi-label wildcard *.kawasaki.jp: foo.kawasaki.jp is public
+        "http://foo.kawasaki.jp/": "",
+        "http://bar.foo.kawasaki.jp/": "bar.foo.kawasaki.jp",
+        # plain co.jp rule unaffected by the jp wildcards
+        "http://shop.example.co.jp/": "example.co.jp",
     }
     for url, want in cases.items():
         assert _psl(spark, url) == want, url
+
+
+def test_registrable_domain_psl_idna(spark):
+    from rdf_spark.functions.psl import registrable_domain_psl
+
+    rows = [("http://пример.рф/x",), ("http://xn--e1afmkfd.xn--p1ai/x",),
+            ("http://sub.Пример.рф/",), ("http://a.b.example.com/",)]
+    df = spark.createDataFrame(rows, "url string")
+    got = [r["domain"]
+           for r in registrable_domain_psl(df, "url", idna=True).collect()]
+    # both spellings of the IDN host key to ONE punycode domain, and
+    # ASCII hosts take the unchanged fast path
+    assert got == ["xn--e1afmkfd.xn--p1ai", "xn--e1afmkfd.xn--p1ai",
+                   "xn--e1afmkfd.xn--p1ai", "example.com"]
+    # default (idna=False) keeps the pure-JVM plan: Unicode spelling
+    # stays Unicode, so the two spellings do NOT merge
+    plain = [r["domain"] for r in registrable_domain_psl(df, "url").collect()]
+    assert plain[0] == "пример.рф" and plain[1] == "xn--e1afmkfd.xn--p1ai"
 
 
 def test_psl_matches_reference_algorithm_in_batch(spark):
@@ -82,7 +111,9 @@ def test_psl_matches_reference_algorithm_in_batch(spark):
     driver-side implementation of the publicsuffix.org algorithm
     (restricted to the vendored subset) over a systematic host corpus."""
     from rdf_spark.functions.psl import (
+        PSL_EXCEPTIONS,
         PSL_SUFFIXES,
+        PSL_WILDCARD_BASES,
         PSL_WILDCARD_TLDS,
         registrable_domain_psl,
     )
@@ -90,11 +121,20 @@ def test_psl_matches_reference_algorithm_in_batch(spark):
     p3 = {s for s in PSL_SUFFIXES if s.count(".") == 2}
     p2 = {s for s in PSL_SUFFIXES if s.count(".") == 1}
     wild = set(PSL_WILDCARD_TLDS)
+    wild_bases = set(PSL_WILDCARD_BASES)
+    exc2 = {e for e in PSL_EXCEPTIONS if e.count(".") == 1}
+    exc3 = {e for e in PSL_EXCEPTIONS if e.count(".") == 2}
 
     def ref(host):
         labels = host.split(".") if host else [""]
         nl = len(labels)
-        if nl >= 3 and ".".join(labels[-3:]) in p3:
+        if nl >= 3 and ".".join(labels[-3:]) in exc3:
+            slen = 2
+        elif nl >= 2 and ".".join(labels[-2:]) in exc2:
+            slen = 1
+        elif nl >= 3 and ".".join(labels[-3:]) in p3:
+            slen = 3
+        elif nl >= 2 and ".".join(labels[-2:]) in wild_bases:
             slen = 3
         elif (nl >= 2 and ".".join(labels[-2:]) in p2) or (
             labels[-1] in wild and nl >= 2
@@ -105,7 +145,9 @@ def test_psl_matches_reference_algorithm_in_batch(spark):
         return ".".join(labels[-(slen + 1):]) if nl > slen else ""
 
     suffixes = ["co.uk", "com.au", "act.edu.au", "edu.au", "ck", "bd",
-                "com", "dev", "uk", "jp", "co.jp", "waw.pl", "k12.il"]
+                "com", "dev", "uk", "jp", "co.jp", "waw.pl", "k12.il",
+                "www.ck", "kawasaki.jp", "city.kawasaki.jp",
+                "city.yokohama.jp", "sendai.jp"]
     prefixes = ["", "x", "x.y", "deep.a.b"]
     hosts = []
     for sfx in suffixes:
