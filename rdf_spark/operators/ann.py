@@ -106,15 +106,14 @@ def ivf_topk(
     )
 
 
-def _hyperplane_sign(vec: Column, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane component weights:
-    w[plane][j] = (md5_int(plane|j) mod 2001 - 1000) / 1000 in [-1, 1].
-    Same construction is reproducible in any engine with md5. The
-    weight vector length follows size(vec) per row — no driver-side
-    action is needed to discover the dimensionality. Empty embeddings
-    get a defined 0 sign (an unguarded sequence(0, size-1) would
-    auto-step DOWN to [0, -1] and poison the weights with a bogus
-    2-element vector)."""
+def _hyperplane_dot(vec: Column, plane: int) -> Column:
+    """dot(vec, w_plane) against deterministic pseudo-random hyperplane
+    weights w[plane][j] = (md5_int(plane|j) mod 2001 - 1000) / 1000 in
+    [-1, 1]. Same construction is reproducible in any engine with md5.
+    The weight vector length follows size(vec) per row — no driver-side
+    action is needed to discover the dimensionality. Null for empty
+    embeddings (an unguarded sequence(0, size-1) would auto-step DOWN
+    to [0, -1] and poison the weights with a bogus 2-element vector)."""
     weights = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(vec) - 1, F.lit(0))),
         lambda j: (
@@ -122,14 +121,85 @@ def _hyperplane_sign(vec: Column, plane: int) -> Column:
             .cast("long") % 2001 - 1000
         ).cast("double") / 1000.0,
     )
-    return F.when(F.size(vec) > 0, (_dot(vec, weights) >= 0).cast("int")).otherwise(
-        F.lit(0)
-    )
+    return F.when(F.size(vec) > 0, _dot(vec, weights))
+
+
+def _hyperplane_sign(vec: Column, plane: int) -> Column:
+    """1 if the vector lies on/above the plane, else 0; empty
+    embeddings get a defined 0 sign."""
+    return F.coalesce((_hyperplane_dot(vec, plane) >= 0).cast("int"), F.lit(0))
 
 
 def lsh_signature(vec: Column, planes: int) -> Column:
     parts = [_hyperplane_sign(vec, p).cast("string") for p in range(planes)]
     return F.concat_ws("", *parts)
+
+
+# Margin-ranked multi-probe draws perturbation sets from the subsets
+# of this many smallest-|margin| planes (pool size 2^bits - 1); 6 keeps
+# the probe-generation expression bounded (63 flip terms) while
+# covering every useful nprobe (64 probes of an 8-plane table is a
+# quarter of the whole signature space).
+_MAX_PROBE_BITS = 6
+
+
+def _margin_probes(queries: DataFrame, planes: int, nprobe: int,
+                   id_col: str, vec_col: str) -> DataFrame:
+    """(query_id, qv, bucket) with one row per margin-ranked probe.
+
+    Per query row: compute the per-plane dots once, sort planes by
+    |margin| ascending, score every nonempty subset of the
+    min(planes, 6) boundary-closest planes by its summed margin, sort
+    the (score, flipped-signature) structs, and explode the first
+    ``nprobe``. The exact bucket carries score -1 so it always probes
+    first. All expressions — the subset pool is a compile-time
+    constant, only its per-row ORDER is data-dependent."""
+    nbits = min(planes, _MAX_PROBE_BITS)
+    dots = F.array(*[_hyperplane_dot(F.col(vec_col), p) for p in range(planes)])
+    q0 = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        dots.alias("__dots"),
+    ).withColumn(
+        "__signs",
+        F.transform(F.col("__dots"),
+                    lambda d: F.coalesce((d >= 0).cast("int"), F.lit(0))),
+    ).withColumn(
+        # (|margin|, plane) ascending: position 1 = closest boundary
+        "__mg",
+        F.array_sort(F.array(*[
+            F.struct(
+                F.coalesce(F.abs(F.element_at(F.col("__dots"), p + 1)),
+                           F.lit(0.0)).alias("m"),
+                F.lit(p).alias("p"),
+            )
+            for p in range(planes)
+        ])),
+    )
+    flip_sig = lambda flips: F.array_join(  # noqa: E731
+        F.transform(
+            F.col("__signs"),
+            lambda s, j: F.when(F.array_contains(flips, j), 1 - s)
+            .otherwise(s).cast("string"),
+        ),
+        "",
+    )
+    candidates = [
+        F.struct(F.lit(-1.0).alias("s"),
+                 F.array_join(F.col("__signs").cast("array<string>"), "")
+                 .alias("b"))
+    ]
+    for mask in range(1, 2 ** nbits):
+        idxs = [i for i in range(nbits) if mask >> i & 1]
+        score = F.element_at(F.col("__mg"), idxs[0] + 1)["m"]
+        for i in idxs[1:]:
+            score = score + F.element_at(F.col("__mg"), i + 1)["m"]
+        flips = F.array(*[F.element_at(F.col("__mg"), i + 1)["p"] for i in idxs])
+        candidates.append(F.struct(score.alias("s"), flip_sig(flips).alias("b")))
+    probes = F.transform(
+        F.slice(F.array_sort(F.array(*candidates)), 1, nprobe),
+        lambda st: st["b"],
+    )
+    return q0.select("query_id", "qv", F.explode(probes).alias("bucket"))
 
 
 def lsh_topk(
@@ -140,36 +210,69 @@ def lsh_topk(
     nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_order: str = "margin",
 ) -> DataFrame:
     """Random-hyperplane LSH ANN: equi-join on the signature bucket;
     recall trades off with `planes` (more planes -> smaller buckets)
-    and with ``nprobe`` (multi-probe: each query also searches the
-    buckets whose signature differs in one bit, in plane order, up to
-    nprobe buckets total — the standard recall knob without
-    re-hashing the corpus; candidate volume grows linearly). The
-    corpus stays single-bucketed and probe signatures are distinct, so
-    no duplicate (query, neighbor) candidates arise and recall is
-    monotone in nprobe. Fully lazy — no driver action at construction
-    time."""
+    and with ``nprobe`` (multi-probe: each query also searches nearby
+    buckets — the standard recall knob without re-hashing the corpus;
+    candidate volume grows linearly with probes).
+
+    Probe ordering (``probe_order``):
+
+    - ``"margin"`` (default) — true multi-probe in the Lv et al.
+      (VLDB'07) sense: probe signatures are perturbation sets ranked
+      per query by the summed |dot(v, w_plane)| margin of the flipped
+      planes, so the first extra probes cross the hyperplanes the
+      query is CLOSEST to — where a true neighbor most likely landed
+      on the other side. Multi-bit probes are allowed; the pool is
+      every nonempty subset of the ``min(planes, 6)`` smallest-margin
+      planes (nprobe capped at ``2**min(planes, 6)``). The pool and
+      its per-row ordering do not depend on nprobe, so the probe list
+      for a smaller nprobe is a prefix of a larger one — recall is
+      monotone in nprobe (up to exact margin ties).
+    - ``"plane"`` — the legacy ordering: single-bit flips in plane
+      index order, capped at planes+1 probes. Margin-blind; kept for
+      A/B comparison.
+
+    The corpus stays single-bucketed and probe signatures are distinct
+    (distinct plane subsets flip distinct positions), so no duplicate
+    (query, neighbor) candidates arise. Fully lazy — no driver action
+    at construction time; probe generation is pure whole-stage-codegen
+    expressions (sort of a ≤64-element struct array per query row)."""
     from pyspark.sql.window import Window
 
-    nprobe = max(1, min(nprobe, planes + 1))
     sig = lambda c: lsh_signature(c, planes)  # noqa: E731
     exact = lsh_signature(F.col(vec_col), planes)
-    flipped = [
-        F.concat(
-            F.substring(exact, 1, i),
-            F.when(F.substring(exact, i + 1, 1) == "1", F.lit("0"))
-            .otherwise(F.lit("1")),
-            F.substring(exact, i + 2, planes),
+    if probe_order == "plane":
+        nprobe = max(1, min(nprobe, planes + 1))
+    elif probe_order == "margin":
+        nprobe = max(1, min(nprobe, 2 ** min(planes, _MAX_PROBE_BITS)))
+    else:
+        raise ValueError(f"probe_order must be 'margin' or 'plane': {probe_order!r}")
+
+    if nprobe == 1:
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            exact.alias("bucket"),
         )
-        for i in range(nprobe - 1)
-    ]
-    probes = F.slice(F.array(exact, *flipped), 1, nprobe)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
-        F.explode(probes).alias("bucket"),
-    )
+    elif probe_order == "plane":
+        flipped = [
+            F.concat(
+                F.substring(exact, 1, i),
+                F.when(F.substring(exact, i + 1, 1) == "1", F.lit("0"))
+                .otherwise(F.lit("1")),
+                F.substring(exact, i + 2, planes),
+            )
+            for i in range(nprobe - 1)
+        ]
+        probes = F.slice(F.array(exact, *flipped), 1, nprobe)
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+            F.explode(probes).alias("bucket"),
+        )
+    else:
+        q = _margin_probes(queries, planes, nprobe, id_col, vec_col)
     c = emb.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         sig(F.col(vec_col)).alias("bucket"),
@@ -235,7 +338,11 @@ def _assign_nearest(df: DataFrame, centroids: list[list[float]],
                     bc=None) -> DataFrame:
     """Add `out_col` = index of the nearest centroid (squared-euclidean
     argmin, first-index tie-break). Pass an existing broadcast via
-    ``bc`` to reuse it across calls (and own its unpersist)."""
+    ``bc`` to reuse it across calls (and own its unpersist); with
+    ``bc=None`` the returned DataFrame's UDF closure owns the new
+    broadcast for its lifetime (freed by the ContextCleaner when the
+    DataFrame is collected, not at action completion — loopers must
+    pass their own bc, see _assign_topn)."""
     if bc is None:
         bc = _broadcast_centroids(df, centroids)
     udf = _centroid_d2_udf(bc, 1)
@@ -243,11 +350,22 @@ def _assign_nearest(df: DataFrame, centroids: list[list[float]],
 
 
 def _assign_topn(df: DataFrame, centroids: list[list[float]],
-                 vec_col: str, n: int, out_col: str = "centroid") -> DataFrame:
+                 vec_col: str, n: int, out_col: str = "centroid",
+                 bc=None) -> DataFrame:
     """Explode each row into its top-``n`` nearest centroids (the IVF
     nprobe expansion for the QUERY side: n rows per query, joined
-    against the corpus's single-centroid assignment)."""
-    bc = _broadcast_centroids(df, centroids)
+    against the corpus's single-centroid assignment).
+
+    Broadcast ownership: when ``bc`` is None a new centroid broadcast
+    is created and the returned DataFrame's UDF closure owns it for
+    the DataFrame's lifetime — it is reclaimed by Spark's
+    ContextCleaner once the DataFrame is garbage-collected, NOT at
+    action completion. Callers that build many assignments in one
+    session (or loop) should pass their own ``bc`` and unpersist it
+    after the query executes (kmeans_fit does exactly this per Lloyd
+    round)."""
+    if bc is None:
+        bc = _broadcast_centroids(df, centroids)
     udf = _centroid_d2_udf(bc, n)
     return df.withColumn(out_col, F.explode(udf(F.col(vec_col))))
 

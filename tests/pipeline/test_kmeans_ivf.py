@@ -121,6 +121,46 @@ def test_lsh_multiprobe_recall_monotone(emb):
     assert r5 > r1 or r1 == 1.0, (r1, r5)  # probing must help here
 
 
+def test_lsh_margin_probes_dominate_plane_order(spark):
+    """Margin-ranked multi-probe must dominate the legacy plane-order
+    probes on a clustered fixture at equal probe counts: the first
+    extra probes cross the hyperplanes the query is closest to, which
+    is where a jittered twin most likely landed. Dominance = recall >=
+    at every nprobe, strictly better somewhere, and full recall with
+    far fewer probes."""
+    import numpy as np
+
+    from rdf_spark.operators.ann import lsh_topk
+
+    rng = np.random.RandomState(7)
+    dim, npairs = 16, 60
+    base = rng.randn(npairs, dim)
+    twin = base + 0.12 * rng.randn(npairs, dim)
+    rows = []
+    for i in range(npairs):
+        rows.append((2 * i, [float(x) for x in base[i]]))
+        rows.append((2 * i + 1, [float(x) for x in twin[i]]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") % 2 == 0)
+
+    def recall(nprobe, order):
+        got = lsh_topk(emb, q, k=1, planes=8, nprobe=nprobe,
+                       probe_order=order)
+        return got.where(
+            F.col("neighbor_id") == F.col("query_id") + 1).count() / npairs
+
+    grid = (1, 2, 4, 6)
+    margin = [recall(n, "margin") for n in grid]
+    plane = [recall(n, "plane") for n in grid]
+    assert all(m >= p for m, p in zip(margin, plane)), (margin, plane)
+    assert sum(margin) > sum(plane), (margin, plane)
+    # monotone in nprobe (prefix property of the probe list)
+    assert margin == sorted(margin), margin
+    # the margin curve saturates: 4 boundary-ranked probes find every
+    # twin that the plane order still misses at 6
+    assert margin[2] == 1.0, margin
+
+
 def test_lsh_signature_empty_vector_defined(spark):
     """An empty embedding must produce a defined all-zero signature,
     not a null from the descending [0, -1] auto-sequence."""
