@@ -400,8 +400,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     md5(token), big-endian; bit j of the signature is set iff strictly
     more than half the tokens have bit j set (votes +1/-1, ties -> 0).
     The per-token x per-bit voting loop is a single ``unpackbits`` +
-    column sum per document (~10-50x the scalar-Python formulation);
-    md5 stays one C call per token."""
+    column sum per document (~10-50x the scalar-Python formulation),
+    and md5 runs once per UNIQUE token per Arrow batch (dict-encode,
+    gather): natural-language corpora repeat most tokens heavily, so
+    the per-occurrence Python md5 call — the part that would dominate
+    at 100 TB — drops to the batch's vocabulary size."""
     import hashlib
 
     import numpy as np
@@ -413,22 +416,32 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                toks = str(text).lower().split()
-                if not toks:
-                    out.append((doc_id, 0))
-                    continue
+            toks_per_doc = [str(t).lower().split() for t in pdf["text"]]
+            vocab: dict[str, int] = {}
+            idx_per_doc = []
+            for toks in toks_per_doc:
+                idx_per_doc.append(
+                    np.fromiter(
+                        (vocab.setdefault(t, len(vocab)) for t in toks),
+                        dtype=np.int64, count=len(toks),
+                    )
+                )
+            if vocab:
                 raw = b"".join(
-                    hashlib.md5(t.encode("utf-8")).digest()[:nbytes] for t in toks
+                    hashlib.md5(t.encode("utf-8")).digest()[:nbytes]
+                    for t in vocab
                 )
                 # byte-reverse each hash so unpackbits column j == bit j
                 # (LSB index) of the big-endian integer
                 mat = np.frombuffer(raw, dtype=np.uint8).reshape(-1, nbytes)[:, ::-1]
-                ones = np.unpackbits(mat, axis=1, bitorder="little").sum(
-                    axis=0, dtype=np.int64
-                )
-                set_bits = np.nonzero(ones * 2 > len(toks))[0]
+                vocab_bits = np.unpackbits(mat, axis=1, bitorder="little")
+            out = []
+            for doc_id, idx in zip(pdf["doc_id"], idx_per_doc):
+                if idx.size == 0:
+                    out.append((doc_id, 0))
+                    continue
+                ones = vocab_bits[idx].sum(axis=0, dtype=np.int64)
+                set_bits = np.nonzero(ones * 2 > idx.size)[0]
                 sig = 0
                 for j in set_bits:
                     sig |= 1 << int(j)
