@@ -61,6 +61,11 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("__id"), F.md5(F.col(text_col)).alias("content_hash")
     )
     if max_ids is None:
+        if salts is not None:
+            raise ValueError(
+                "salts requires a finite max_ids: the per-salt cap is what "
+                "bounds the phase-2 merge (<= salts * max_ids rows per hash)"
+            )
         return (
             hashed.groupBy("content_hash")
             .agg(

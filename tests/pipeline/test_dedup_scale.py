@@ -106,6 +106,19 @@ def test_exact_dedup_salted_matches_single_window(spark):
     assert windows and all("__salt" in ln for ln in windows), plan
 
 
+def test_exact_dedup_salted_requires_finite_cap(spark):
+    """salts + max_ids=None is a contradiction (the per-salt cap is
+    what bounds the phase-2 merge) — must raise, not silently ignore
+    the salts or filter everything through a null comparison."""
+    import pytest
+
+    from rdf_spark.operators.dedup import exact_dedup_groups
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="finite max_ids"):
+        exact_dedup_groups(docs, max_ids=None, salts=4)
+
+
 def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
     from pyspark.sql import DataFrame
 
