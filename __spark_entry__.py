@@ -1027,6 +1027,24 @@ def q_emb_lsh_topk(spark, sf_dir):
     )
 
 
+def q_emb_lsh_topk_probe2(spark, sf_dir):
+    """Margin-ranked multi-probe LSH at nprobe=2: each query searches
+    its exact bucket PLUS the bucket across its closest hyperplane
+    (smallest |dot(v, w_plane)|, plane-index tie-break) — the first
+    perturbation of true multi-probe. At nprobe=2 the best
+    perturbation set is provably the singleton flip of the
+    smallest-margin plane, so the DuckDB oracle can replay it as an
+    argmin + one-bit flip over the same md5-derived hyperplanes
+    (ann.py::_margin_probes)."""
+    from rdf_spark.operators.ann import lsh_topk
+
+    e = _read(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return lsh_topk(e, q, k=3, planes=4, nprobe=2).select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_emb_lsh_near_dups(spark, sf_dir):
     """LSH-bucketed embedding near-dup PAIRS (the pair-generation
     scale path; within-bucket exact cosine). The md5-derived
@@ -1121,6 +1139,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_plan": q_mm_frame_plan,
         "doc_lsh_jaccard": q_doc_lsh_jaccard,
         "emb_lsh_near_dups": q_emb_lsh_near_dups,
+        # round-4 margin-ranked multi-probe under the hard gate
+        # (nprobe=2 is SQL-replayable: argmin-margin single flip)
+        "emb_lsh_topk_probe2": q_emb_lsh_topk_probe2,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1145,7 +1166,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_xsd_validate": q_rdf_xsd_validate,
         # training-data / curation
         "doc_subword_tokens": q_doc_subword_tokens,
-        "emb_near_dups": q_emb_near_dups,
         "doc_quality": q_doc_quality,
         "web_url_normalize": q_web_url_normalize,
         "doc_pii": q_doc_pii,
@@ -1163,9 +1183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": q_emb_ivf_topk,
         # --- 50-entry driver cap ends here; tail entries below are
         # redundant with earlier rows, rows-only, or double-green in
-        # r02+r03 driver records (the four rotated out in round 4:
-        # token_stats/lang_id/fingerprint/predicate_histogram), and
-        # stay covered by the local contract tests ---
+        # r02+r03 driver records (rotated out in round 4:
+        # token_stats/lang_id/fingerprint/predicate_histogram, plus
+        # emb_near_dups whose sf0.01 result is a vacuous 0-row match —
+        # emb_lsh_topk_probe2 took its slot), and stay covered by the
+        # local contract tests ---
+        "emb_near_dups": q_emb_near_dups,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1959,6 +1982,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM sigs q JOIN sigs c
                   ON q.bucket = c.bucket AND q.vec_id != c.vec_id
                 WHERE q.vec_id < 10
+            ), ranked AS (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            )
+            SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        # margin-ranked multi-probe at nprobe=2: probe 1 = exact
+        # bucket; probe 2 flips the bit of the plane with the smallest
+        # |dot| (plane-index tie-break) — at nprobe=2 the singleton
+        # flip of the smallest-margin plane is provably the best
+        # perturbation set, so this replays ann.py::_margin_probes
+        "emb_lsh_topk_probe2": _EMB_LSH_SIGS_CTE + """
+            , qm AS (
+                SELECT vec_id, plane AS mp FROM (
+                    SELECT e.vec_id, pl.plane,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY abs(coalesce(d.dot, 0)) ASC,
+                                        pl.plane ASC) AS rn
+                    FROM embeddings e
+                    CROSS JOIN (SELECT unnest(range(4)) AS plane) pl
+                    LEFT JOIN dots d
+                      ON d.vec_id = e.vec_id AND d.plane = pl.plane
+                    WHERE e.vec_id < 10
+                ) WHERE rn = 1
+            ), probes AS (
+                SELECT s.vec_id, s.embedding, s.bucket AS b
+                FROM sigs s WHERE s.vec_id < 10
+                UNION ALL
+                SELECT s.vec_id, s.embedding,
+                       substr(s.bucket, 1, q.mp)
+                       || CASE WHEN substr(s.bucket, q.mp + 1, 1) = '1'
+                               THEN '0' ELSE '1' END
+                       || substr(s.bucket, q.mp + 2) AS b
+                FROM sigs s JOIN qm q ON q.vec_id = s.vec_id
+            ), scored AS (
+                SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_cosine_similarity(p.embedding, c.embedding), 4) AS cos
+                FROM probes p JOIN sigs c
+                  ON c.bucket = p.b AND c.vec_id != p.vec_id
             ), ranked AS (
                 SELECT *, row_number() OVER (PARTITION BY query_id
                        ORDER BY cos DESC, neighbor_id ASC) AS rank
