@@ -779,6 +779,19 @@ def q_doc_remove_boilerplate(spark, sf_dir):
     return remove_boilerplate(docs, min_docs=2)
 
 
+def q_doc_remove_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-SPAN removal (Lee et al. 2022,
+    doc-level-keeper variant) over the documents table: tokens covered
+    by an 8-token span appearing in >= 2 distinct docs are removed
+    everywhere except the smallest containing doc_id. The DuckDB
+    oracle replays the identical md5-keyed span accounting and
+    whitespace-normalized rebuild (dedup.py::remove_duplicated_spans)."""
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, n=8, min_df=2)
+
+
 def q_doc_filter_verdicts(spark, sf_dir):
     """Reason-coded curation filter (first failing rule wins):
     too_short > high_repetition > low_quality > ok."""
@@ -1165,13 +1178,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_salted_degree": q_rdf_salted_degree,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         # training-data / curation
-        "doc_subword_tokens": q_doc_subword_tokens,
         "doc_quality": q_doc_quality,
         "web_url_normalize": q_web_url_normalize,
         "doc_pii": q_doc_pii,
         "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
+        # round-4 operator: cross-doc duplicated-span removal
+        "doc_remove_dup_spans": q_doc_remove_dup_spans,
         "doc_filter_verdicts": q_doc_filter_verdicts,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_exact_dedup": q_doc_exact_dedup,
@@ -1185,10 +1199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundant with earlier rows, rows-only, or double-green in
         # r02+r03 driver records (rotated out in round 4:
         # token_stats/lang_id/fingerprint/predicate_histogram, plus
-        # emb_near_dups whose sf0.01 result is a vacuous 0-row match —
-        # emb_lsh_topk_probe2 took its slot), and stay covered by the
-        # local contract tests ---
+        # emb_near_dups (vacuous 0-row sf0.01 match) and
+        # doc_subword_tokens (triple-green) whose slots went to the
+        # new emb_lsh_topk_probe2 / doc_remove_dup_spans rows), and
+        # stay covered by the local contract tests ---
         "emb_near_dups": q_emb_near_dups,
+        "doc_subword_tokens": q_doc_subword_tokens,
         "doc_token_stats": q_doc_token_stats,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1663,6 +1679,47 @@ def oracle_sql() -> dict[str, str]:
                    'about customer ' || c_custkey || chr(10) ||
                    'name ' || c_name AS text
             FROM customer
+        """,
+        # duplicated-span removal: identical md5-keyed span accounting
+        # (chr(1)-joined 8-gram, df>=2, min-doc keeper), coverage via
+        # start+j expansion, whitespace-normalized rebuild
+        "doc_remove_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), occ AS (
+                SELECT doc_id, i - 1 AS start,
+                       md5(array_to_string(t[i:i+7], chr(1))) AS h
+                FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS r(i)
+                WHERE len(t) >= 8
+            ), dup AS (
+                SELECT h, min(doc_id) AS keeper
+                FROM occ GROUP BY h
+                HAVING count(DISTINCT doc_id) >= 2
+            ), cov AS (
+                SELECT DISTINCT o.doc_id, o.start + s.j AS pos
+                FROM occ o
+                JOIN dup d ON d.h = o.h AND o.doc_id != d.keeper,
+                     UNNEST(range(8)) AS s(j)
+            ), tokpos AS (
+                SELECT doc_id, i - 1 AS pos, t[i] AS tok
+                FROM toks, UNNEST(range(1, len(t) + 1)) AS r(i)
+            ), kept AS (
+                SELECT tp.doc_id,
+                       string_agg(tp.tok, ' ' ORDER BY tp.pos) AS text,
+                       count(*) AS n_kept
+                FROM tokpos tp
+                LEFT JOIN cov c
+                  ON c.doc_id = tp.doc_id AND c.pos = tp.pos
+                WHERE c.doc_id IS NULL
+                GROUP BY tp.doc_id
+            )
+            SELECT t.doc_id,
+                   coalesce(k.text, '') AS text,
+                   CAST(len(t.t) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed
+            FROM toks t LEFT JOIN kept k USING (doc_id)
         """,
         # greedy packing replayed as a per-bucket recursive walk:
         # (seq_id, offset, acc) carried row to row in doc_id order

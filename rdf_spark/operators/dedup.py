@@ -638,3 +638,98 @@ def embedding_near_dups(emb: DataFrame, id_col: str = "vec_id",
         .where(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"), "cos")
     )
+
+
+def remove_duplicated_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Cross-document duplicated-SPAN removal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better"
+    operation, doc-level-keeper variant): every token covered by an
+    ``n``-token span that appears in >= ``min_df`` distinct documents
+    is removed from every document EXCEPT the span's keeper (the
+    smallest ``id_col`` containing that span, which keeps all its
+    occurrences — deterministic, engine-portable). Complements
+    remove_boilerplate (exact repeated LINES) by catching templated
+    runs that flow across line breaks, mid-sentence.
+
+    Returns (doc_id, text, n_removed) — text is the surviving tokens
+    joined with single spaces (whitespace is normalized for every doc,
+    touched or not), n_removed the count of dropped token positions.
+
+    Scale shape (no Python anywhere): tokenize -> in-row n-gram
+    starts -> ONE aggregate on md5(span) for (distinct-doc df, min-id
+    keeper) -> equi-join removable occurrences back on the hash ->
+    explode each to its n covered positions (bounded by n x doc
+    length) -> distinct -> anti-join token positions -> one final
+    per-doc sort-agg rebuild. Every join/agg keys on span-hash or
+    doc_id; a boilerplate span duplicated across 10^6 docs is just a
+    hot build-side row streamed through the hash join — coverage per
+    doc stays bounded by its own length. Spans never leave the row as
+    text: only 32-char md5 keys shuffle.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("t"),
+    )
+    # (doc_id, start, h) for every n-gram start; \x01 joiner cannot
+    # occur inside a whitespace-split token. Filter BEFORE the explode:
+    # sequence(0, size-n) on a shorter doc would auto-step DOWNWARD
+    # (the lsh_signature trap) and feed slice() negative starts.
+    occ = (
+        toks.where(F.size("t") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - n),
+                    lambda i: F.struct(
+                        i.alias("start"),
+                        F.md5(F.array_join(F.slice("t", i + 1, n), "\x01")).alias("h"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select("doc_id", "o.start", "o.h")
+    )
+    dup = (
+        occ.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("df"),
+             F.min("doc_id").alias("keeper"))
+        .where(F.col("df") >= min_df)
+        .select("h", "keeper")
+    )
+    covered = (
+        occ.join(dup, "h")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id",
+                F.explode(F.sequence("start", F.col("start") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "tok")
+    )
+    kept = (
+        tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+    )
+    return (
+        toks.select("doc_id", F.size("t").alias("__n_toks"))
+        .join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            (F.col("__n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long").alias("n_removed"),
+        )
+    )

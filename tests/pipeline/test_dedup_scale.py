@@ -119,6 +119,57 @@ def test_exact_dedup_salted_requires_finite_cap(spark):
         exact_dedup_groups(docs, max_ids=None, salts=4)
 
 
+def test_remove_duplicated_spans_keeper_semantics(spark):
+    """The smallest doc_id containing a duplicated span keeps it; every
+    other doc loses exactly the covered tokens; docs shorter than n and
+    unique docs pass through (whitespace-normalized)."""
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta unique0 tail0"),
+        (1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+        (2, "totally different words here nothing shared at all"),
+        (3, "short  text"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_duplicated_spans(docs, n=6, min_df=2).collect()}
+    assert got[0] == ("alpha beta gamma delta epsilon zeta unique0 tail0", 0)
+    assert got[1] == ("unique1 tail1", 6)
+    assert got[2][1] == 0
+    assert got[3] == ("short text", 0)  # ws normalized, < n tokens
+
+
+def test_remove_duplicated_spans_overlap_union(spark):
+    """Overlapping duplicated spans union their coverage — no token is
+    double-counted and the survivor text has no seams."""
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    # docs 1 and 2 each share a different 3-span with keeper doc 0;
+    # in doc 3 the two spans overlap ("b c d" + "c d e" covering b..e)
+    docs = spark.createDataFrame([
+        (0, "b c d x c d e"),
+        (3, "pre b c d e post"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_duplicated_spans(docs, n=3, min_df=2).collect()}
+    assert got[0][1] == 0  # keeper of both spans
+    assert got[3] == ("pre post", 4)  # union of b c d + c d e
+
+
+def test_remove_duplicated_spans_all_removed(spark):
+    """A doc that is entirely one duplicated span collapses to ''."""
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    docs = spark.createDataFrame([
+        (0, "one two three four"),
+        (1, "one two three four"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["text"], r["n_removed"])
+           for r in remove_duplicated_spans(docs, n=4, min_df=2).collect()}
+    assert got[0] == ("one two three four", 0)
+    assert got[1] == ("", 4)
+
+
 def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
     from pyspark.sql import DataFrame
 
