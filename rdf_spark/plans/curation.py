@@ -6,14 +6,19 @@ actually runs them — each stage only shrinks the document set, so the
 per-stage survivor counts form the drop-report dashboard:
 
 1. boilerplate removal   (template lines shared across documents)
-2. quality verdicts      (too_short > high_repetition > low_quality)
-3. exact dedup           (md5(text) groups -> keep the min-id rep)
-4. near-dup dedup        (MinHash-LSH candidate graph -> connected
+2. span dedup            (optional; cross-doc duplicated n-token
+                          spans removed outside their keeper doc —
+                          catches templated runs that flow across
+                          line breaks; emptied docs fall to stage 3's
+                          too_short verdict)
+3. quality verdicts      (too_short > high_repetition > low_quality)
+4. exact dedup           (md5(text) groups -> keep the min-id rep)
+5. near-dup dedup        (MinHash-LSH candidate graph -> connected
                           components -> keep the min-id rep; LSH
                           buckets capped, so pathological boilerplate
                           blobs stay linear)
-5. per-domain cap        (optional; PSL registrable domains)
-6. stratified sample     (optional; deterministic per-language rates)
+6. per-domain cap        (optional; PSL registrable domains)
+7. stratified sample     (optional; deterministic per-language rates)
 
 Every stage is deterministic (no RNG) — a re-run keeps exactly the
 same documents, which is what makes the plan resumable and its output
@@ -37,6 +42,7 @@ from ..operators.dedup import (
     dup_clusters,
     lsh_candidate_pairs,
     minhash_signatures,
+    remove_duplicated_spans,
     shingles,
 )
 
@@ -84,6 +90,8 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     boilerplate_min_docs: int | None = 2,
+    span_ngram: int | None = None,
+    span_min_df: int = 2,
     min_tokens: int = 20,
     max_repetition: float = 0.5,
     min_quality: float = 0.1,
@@ -99,9 +107,9 @@ def curate_corpus(
     observe_counts: bool = False,
 ) -> CurationResult:
     """Run the full curation chain; pass None to skip an optional
-    stage (boilerplate, domain cap, sampling). Non-text columns
-    (url, lang, ...) ride along unchanged; boilerplate removal
-    rewrites only the text column.
+    stage (boilerplate, span dedup, domain cap, sampling). Non-text
+    columns (url, lang, ...) ride along unchanged; boilerplate removal
+    and span dedup rewrite only the text column.
 
     ``observe_counts=True`` instruments every stage boundary with a
     ``df.observe`` row counter so ``CurationResult.report()`` costs at
@@ -129,6 +137,15 @@ def curate_corpus(
         if other_cols:
             cleaned = cleaned.join(cur.drop(text_col), id_col)
         cur = _stage("boilerplate", cleaned.select(id_col, text_col, *other_cols))
+
+    if span_ngram is not None:
+        despanned = remove_duplicated_spans(
+            cur, n=span_ngram, min_df=span_min_df,
+            id_col=id_col, text_col=text_col,
+        ).withColumnRenamed("doc_id", id_col).drop("n_removed")
+        if other_cols:
+            despanned = despanned.join(cur.drop(text_col), id_col)
+        cur = _stage("span_dedup", despanned.select(id_col, text_col, *other_cols))
 
     verdicts = filter_verdicts(
         cur, id_col=id_col, text_col=text_col,

@@ -86,6 +86,27 @@ def test_domain_cap_and_sampling_stages(spark):
     assert kept  # sampling at fraction 1.0 drops nothing
 
 
+def test_span_dedup_stage(spark):
+    """span_ngram turns on cross-doc duplicated-span removal between
+    boilerplate and quality: the shared GOOD body is stripped from
+    every doc but its keeper (doc 1), which empties doc 2 into the
+    too_short verdict; unique docs keep their (ws-normalized) text."""
+    r = curate_corpus(
+        _corpus(spark), min_tokens=20, boilerplate_min_docs=3,
+        span_ngram=8, num_hashes=4, url_col="url",
+    )
+    assert list(r.stages)[:3] == ["input", "boilerplate", "span_dedup"]
+    spanned = {row["doc_id"]: row for row in r.stages["span_dedup"].collect()}
+    assert spanned[1]["text"] == GOOD          # keeper intact
+    assert spanned[2]["text"] == ""            # exact dup fully despanned
+    assert spanned[2]["url"] == "http://b.example.com/2"  # cols ride along
+    assert "cat" in spanned[5]["text"]         # unique doc keeps its text
+    kept = {row["doc_id"] for row in r.kept.collect()}
+    assert 1 in kept and 2 not in kept         # doc 2 died at quality
+    rep = dict(r.report())
+    assert rep["span_dedup"] == 5 and rep["quality"] <= 3
+
+
 def test_domain_cap_requires_url(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), max_docs_per_domain=1)
