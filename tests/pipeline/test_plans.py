@@ -164,3 +164,21 @@ def test_domain_cap_no_shuffle_beyond_rank_windows(spark, tmp_path):
     assert plan.count("Exchange hashpartitioning") == 2, plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan  # the PSL suffix joins
+
+
+def test_remove_duplicated_spans_no_cartesian(spark, tmp_path):
+    """Duplicated-span removal must stay equi-keyed end to end: every
+    join keys on the span hash or (doc_id, pos) — no cartesian or
+    nested-loop fallback, and the span df aggregate is partial (the
+    count-distinct expands map-side before shuffling)."""
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, " ".join("tok%d" % ((i * 17 + j) % 23) for j in range(12)))
+         for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    plan = _plan(remove_duplicated_spans(spark.read.parquet(p), n=4))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    assert "partial_count" in plan, plan
