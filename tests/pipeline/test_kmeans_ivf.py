@@ -160,6 +160,18 @@ def test_lsh_margin_probes_dominate_plane_order(spark):
     # twin that the plane order still misses at 6
     assert margin[2] == 1.0, margin
 
+    # ... and not by scoring more candidates: the dominance holds at
+    # comparable candidate volume (a huge k makes the rank filter a
+    # no-op, so count == scored pairs). Measured: margin probes score
+    # FEWER candidates than plane order at nprobe >= 4 on this fixture.
+    def cands(nprobe, order):
+        return lsh_topk(emb, q, k=10**6, planes=8, nprobe=nprobe,
+                        probe_order=order).count()
+
+    for nprobe in (2, 4):
+        cm, cp = cands(nprobe, "margin"), cands(nprobe, "plane")
+        assert cm <= cp * 1.25, (nprobe, cm, cp)
+
 
 def test_lsh_signature_empty_vector_defined(spark):
     """An empty embedding must produce a defined all-zero signature,
