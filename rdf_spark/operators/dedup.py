@@ -667,6 +667,15 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
     hot build-side row streamed through the hash join — coverage per
     doc stays bounded by its own length. Spans never leave the row as
     text: only 32-char md5 keys shuffle.
+
+    Scale honesty: the df aggregate shuffles one keyed row per token
+    position — inherent to span-level dedup (the reference technique
+    uses suffix arrays on dedicated hardware). At full-corpus scale,
+    (a) swap md5 for a fixed-width 8-byte hash (xxhash64 — shape
+    unchanged, 4x fewer shuffle bytes; md5 is the default only for
+    engine-portable oracles), and/or (b) restrict ``docs`` to the
+    near-dup candidate universe from the MinHash-LSH pass first, which
+    is how the curation chain orders its stages anyway.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
