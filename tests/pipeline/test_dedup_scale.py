@@ -170,6 +170,44 @@ def test_remove_duplicated_spans_all_removed(spark):
     assert got[1] == ("", 4)
 
 
+def test_remove_duplicated_spans_randomized_parity(spark):
+    """Seeded random corpora with a tiny vocabulary (dense span
+    collisions, overlaps, repeats within one doc, empty docs) must
+    match an independent driver-side implementation exactly."""
+    import numpy as np
+
+    from rdf_spark.operators.dedup import remove_duplicated_spans
+
+    def ref(texts, n, min_df):
+        toks = {d: [t for t in s.split() if t] for d, s in texts.items()}
+        occ = {}
+        for d, ts in toks.items():
+            for i in range(len(ts) - n + 1):
+                occ.setdefault(tuple(ts[i:i + n]), []).append((d, i))
+        cov = {d: set() for d in toks}
+        for occs in occ.values():
+            within = {d for d, _ in occs}
+            if len(within) >= min_df:
+                keeper = min(within)
+                for d, i in occs:
+                    if d != keeper:
+                        cov[d].update(range(i, i + n))
+        return {d: (" ".join(t for i, t in enumerate(ts) if i not in cov[d]),
+                    len(cov[d]))
+                for d, ts in toks.items()}
+
+    rng = np.random.RandomState(42)
+    vocab = ["a", "b", "c", "d"]
+    for _ in range(4):
+        texts = {d: " ".join(rng.choice(vocab, rng.randint(0, 18)))
+                 for d in range(12)}
+        df = spark.createDataFrame(list(texts.items()),
+                                   "doc_id long, text string")
+        got = {r["doc_id"]: (r["text"], r["n_removed"])
+               for r in remove_duplicated_spans(df, n=3, min_df=2).collect()}
+        assert got == ref(texts, 3, 2)
+
+
 def test_spread_small_input_no_rdd_conversion(spark, tmp_path, monkeypatch):
     from pyspark.sql import DataFrame
 
