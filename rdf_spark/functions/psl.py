@@ -39,7 +39,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .web import url_host
@@ -171,14 +171,15 @@ def public_suffix_df(spark, suffixes=PSL_SUFFIXES) -> DataFrame:
     return spark.createDataFrame(rows, "suffix string, n_labels int")
 
 
-@F.pandas_udf("string")
-def idna_ascii_host(hosts: pd.Series) -> pd.Series:
-    """Punycode (IDNA ASCII) form of a host — ``пример.рф`` ->
-    ``xn--e1afmkfd.xn--p1ai``. ASCII hosts (the overwhelming majority
-    of a web corpus) pass through with one C-level isascii() check per
-    value; hosts the codec rejects (empty labels, brackets, over-long
-    labels) are returned unchanged rather than erroring — for a
-    grouping key, a stable passthrough beats a poisoned batch."""
+def idna_ascii_host():
+    """Arrow-batched UDF: punycode (IDNA ASCII) form of a host —
+    ``пример.рф`` -> ``xn--e1afmkfd.xn--p1ai``. ASCII hosts (the
+    overwhelming majority of a web corpus) pass through with one
+    C-level isascii() check per value; hosts the codec rejects (empty
+    labels, brackets, over-long labels) are returned unchanged rather
+    than erroring — for a grouping key, a stable passthrough beats a
+    poisoned batch. Built lazily: a module-level @pandas_udf would
+    need an active SparkSession at import time."""
 
     def enc(h):
         if h is None or h.isascii():
@@ -188,7 +189,11 @@ def idna_ascii_host(hosts: pd.Series) -> pd.Series:
         except UnicodeError:
             return h
 
-    return hosts.map(enc)
+    @F.pandas_udf("string")
+    def _udf(hosts: pd.Series) -> pd.Series:
+        return hosts.map(enc)
+
+    return _udf
 
 
 def registrable_domain_psl(
@@ -222,7 +227,7 @@ def registrable_domain_psl(
 
     host = url_host(F.col(url_col))
     if idna:
-        host = idna_ascii_host(host)
+        host = idna_ascii_host()(host)
     labels = F.split(host, r"\.")
     nl = F.size(labels)
     last_k = lambda k: F.when(  # noqa: E731
