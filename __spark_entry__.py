@@ -792,6 +792,20 @@ def q_doc_remove_dup_spans(spark, sf_dir):
     return remove_duplicated_spans(d, n=8, min_df=2)
 
 
+def q_doc_contamination(spark, sf_dir):
+    """Benchmark-decontamination screen (GPT-3/PaLM n-gram overlap
+    rule): every 50th document plays the eval set; training docs
+    sharing >= 3 distinct casefolded 5-grams with it are flagged. The
+    oracle replays the identical shingle join + per-doc count
+    (curation.py::flag_contaminated)."""
+    from rdf_spark.operators.curation import flag_contaminated
+
+    d = _read(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    train = d.where(F.col("doc_id") % 50 != 0)
+    return flag_contaminated(train, bench, n=5, min_shared=3)
+
+
 def q_doc_filter_verdicts(spark, sf_dir):
     """Reason-coded curation filter (first failing rule wins):
     too_short > high_repetition > low_quality > ok."""
@@ -1218,6 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_po_map": q_rdf_po_map,
         "rdf_add_remove": q_rdf_add_remove,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
+        "doc_contamination": q_doc_contamination,
     }
 
 
@@ -1679,6 +1694,33 @@ def oracle_sql() -> dict[str, str]:
                    'about customer ' || c_custkey || chr(10) ||
                    'name ' || c_name AS text
             FROM customer
+        """,
+        # decontamination screen: casefolded 5-gram shingles of the
+        # every-50th-doc "eval set" joined against the rest, per-doc
+        # distinct-shared count, >= 3 flags
+        "doc_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\s+'),
+                                   x -> x != '') AS t
+                FROM documents
+            ), sh AS (
+                SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS shingle
+                FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS r(i)
+                WHERE len(t) >= 5
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+            ), hits AS (
+                SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+                FROM sh s JOIN bench b USING (shingle)
+                WHERE s.doc_id % 50 != 0
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+                   coalesce(h.n_shared, 0) >= 3 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 50 != 0) d
+            LEFT JOIN hits h USING (doc_id)
         """,
         # duplicated-span removal: identical md5-keyed span accounting
         # (chr(1)-joined 8-gram, df>=2, min-doc keeper), coverage via

@@ -243,3 +243,49 @@ def cap_per_domain(docs: DataFrame, max_docs: int,
         .where(F.col("__rank") <= max_docs)
         .drop("__r1", "__rank", "__salt", "__domain")
     )
+
+
+def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
+                      n: int = 13, min_shared: int = 1,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Benchmark-decontamination screen: flag training documents that
+    share >= ``min_shared`` distinct word ``n``-grams with ANY
+    benchmark/eval document (the GPT-3 / PaLM 13-gram overlap rule —
+    leaked eval items inflate downstream scores, so they must be
+    dropped from the training corpus, not the benchmark).
+
+    Returns (doc_id, n_shared, contaminated) for every input doc.
+    Matching is casefolded + whitespace-tokenized (shingles()), so
+    trivial re-formatting doesn't hide a leak; docs shorter than n
+    tokens can never match and come back with n_shared = 0.
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle
+    set (eval suites are tiny next to a training corpus — usually
+    broadcastable, and Spark picks that automatically); one equi-join
+    on the shingle string and one per-doc aggregate. No full-corpus
+    pair comparison anywhere, and the corpus is touched exactly once.
+    """
+    from .dedup import shingles
+
+    d = shingles(docs, id_col=id_col, text_col=text_col, n=n)
+    b = (
+        shingles(benchmark, id_col=id_col, text_col=text_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        d.join(b, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) >= min_shared)
+            .alias("contaminated"),
+        )
+    )

@@ -107,6 +107,28 @@ def test_span_dedup_stage(spark):
     assert rep["span_dedup"] == 5 and rep["quality"] <= 3
 
 
+def test_flag_contaminated(spark):
+    """A training doc embedding an eval item verbatim (any casing) is
+    flagged; clean and too-short docs come back n_shared=0. The
+    benchmark side is never flagged — it isn't in the output at all."""
+    from rdf_spark.operators.curation import flag_contaminated
+
+    bench = spark.createDataFrame(
+        [(100, "What is the exact eval question about foxes and dogs?")],
+        "doc_id long, text string")
+    docs = spark.createDataFrame([
+        (1, "prefix WHAT IS THE EXACT EVAL QUESTION ABOUT FOXES AND DOGS? suffix"),
+        (2, "completely unrelated training text with no overlap at all here"),
+        (3, "too short"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in flag_contaminated(docs, bench, n=5, min_shared=1).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1][1] and got[1][0] >= 5   # every 5-gram of the item leaks
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
+
+
 def test_domain_cap_requires_url(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), max_docs_per_domain=1)
