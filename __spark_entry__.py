@@ -792,6 +792,28 @@ def q_doc_remove_dup_spans(spark, sf_dir):
     return remove_duplicated_spans(d, n=8, min_df=2)
 
 
+def q_web_assign_split(spark, sf_dir):
+    """Leakage-safe train/val/test assignment keyed on the PSL
+    registrable domain (same synthetic URL shapes as web_domain_cap,
+    so the oracle states the closed-form domains and replays the
+    md5-bucket thresholds — curation.py::assign_split)."""
+    from rdf_spark.operators.curation import assign_split
+
+    c = _read(spark, sf_dir, "customer")
+    k = F.col("c_custkey").cast("string")
+    url = (
+        F.when(F.col("c_custkey") % 4 == 0,
+               F.concat(F.lit("http://www.example.com/p/"), k))
+        .when(F.col("c_custkey") % 4 == 1,
+              F.concat(F.lit("https://shop.example.co.uk/item/"), k))
+        .when(F.col("c_custkey") % 4 == 2,
+              F.concat(F.lit("http://a.example.co.uk/x/"), k))
+        .otherwise(F.concat(F.lit("http://mirror.example.net/y/"), k))
+    )
+    docs = c.select(F.col("c_custkey").alias("doc_id"), url.alias("url"))
+    return assign_split(docs, (("train", 0.8), ("val", 0.1), ("test", 0.1)))
+
+
 def q_doc_contamination(spark, sf_dir):
     """Benchmark-decontamination screen (GPT-3/PaLM n-gram overlap
     rule): every 50th document plays the eval set; training docs
@@ -1233,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_add_remove": q_rdf_add_remove,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
         "doc_contamination": q_doc_contamination,
+        "web_assign_split": q_web_assign_split,
     }
 
 
@@ -1694,6 +1717,32 @@ def oracle_sql() -> dict[str, str]:
                    'about customer ' || c_custkey || chr(10) ||
                    'name ' || c_name AS text
             FROM customer
+        """,
+        # domain-keyed split assignment: closed-form PSL domains for
+        # the synthetic URL shapes, identical md5 bucket + cumulative
+        # thresholds (train < 8000 <= val < 9000 <= test)
+        "web_assign_split": """
+            WITH d AS (
+                SELECT c_custkey AS doc_id,
+                       CASE c_custkey % 4
+                           WHEN 0 THEN 'example.com'
+                           WHEN 1 THEN 'example.co.uk'
+                           WHEN 2 THEN 'example.co.uk'
+                           ELSE 'example.net' END AS domain
+                FROM customer
+            ), h AS (
+                SELECT doc_id, domain,
+                       CAST(list_sum(list_transform(range(8), i ->
+                           (strpos('0123456789abcdef',
+                                   substr(md5(domain), i + 1, 1)) - 1)
+                           * power(16, 7 - i))) AS BIGINT) % 10000 AS hv
+                FROM d
+            )
+            SELECT doc_id, domain,
+                   CASE WHEN hv < 8000 THEN 'train'
+                        WHEN hv < 9000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h
         """,
         # decontamination screen: casefolded 5-gram shingles of the
         # every-50th-doc "eval set" joined against the rest, per-doc

@@ -289,3 +289,49 @@ def flag_contaminated(docs: DataFrame, benchmark: DataFrame,
             .alias("contaminated"),
         )
     )
+
+
+def assign_split(docs: DataFrame, splits=(("train", 0.98), ("val", 0.01),
+                                          ("test", 0.01)),
+                 url_col: str = "url", id_col: str = "doc_id",
+                 domain_col: str | None = None) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the page's REGISTRABLE DOMAIN (PSL-backed), so every
+    page of one site lands in the same split — near-duplicate pages
+    from one domain can never straddle the train/eval boundary, the
+    standard web-corpus leakage guard.
+
+    ``splits`` is an ordered (name, fraction) sequence (or dict);
+    boundaries are cumulative in the given order over the same
+    engine-portable md5 bucket space as stratified_sample, and the
+    LAST split absorbs any residue, so the mapping is total and
+    reproducible across runs/engines/retries. Pass ``domain_col`` to
+    reuse an already-derived domain instead of re-deriving from
+    ``url_col``.
+
+    Returns (doc_id, domain, split). Map-only over the corpus (the
+    PSL lookup is two broadcast joins); no shuffle.
+    """
+    if domain_col is None:
+        from ..functions.psl import registrable_domain_psl
+
+        docs = registrable_domain_psl(docs, url_col, "__domain")
+        domain_col = "__domain"
+    items = list(splits.items()) if isinstance(splits, dict) else list(splits)
+    if not items:
+        raise ValueError("splits must name at least one split")
+    h = stratum_hash(F.col(domain_col))
+    expr = None
+    cum = 0.0
+    for name, fracv in items[:-1]:
+        cum += float(fracv)
+        bound = int(round(cum * 10000))
+        expr = (F.when(h < bound, F.lit(name)) if expr is None
+                else expr.when(h < bound, F.lit(name)))
+    split = (expr.otherwise(F.lit(items[-1][0])) if expr is not None
+             else F.lit(items[-1][0]))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(domain_col).alias("domain"),
+        split.alias("split"),
+    )

@@ -129,6 +129,30 @@ def test_flag_contaminated(spark):
     assert got[3] == (0, False)
 
 
+def test_assign_split_domain_coherent_and_total(spark):
+    """All pages of one registrable domain land in ONE split (the
+    leakage guard), the mapping is total (every doc gets a split),
+    deterministic across calls, and over many domains every split
+    actually receives members at 60/20/20."""
+    from rdf_spark.operators.curation import assign_split
+
+    rows = [(i, f"http://sub{i % 3}.site{i % 40}.example{i % 40}.com/p/{i}")
+            for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = assign_split(docs, (("train", 0.6), ("val", 0.2), ("test", 0.2)))
+    got = out.collect()
+    assert len(got) == 400 and all(r["split"] for r in got)
+    by_domain = {}
+    for r in got:
+        by_domain.setdefault(r["domain"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_domain.values()), by_domain
+    seen = {r["split"] for r in got}
+    assert seen == {"train", "val", "test"}, seen
+    again = {(r["doc_id"], r["split"]) for r in assign_split(
+        docs, (("train", 0.6), ("val", 0.2), ("test", 0.2))).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in got}
+
+
 def test_domain_cap_requires_url(spark):
     with pytest.raises(ValueError):
         curate_corpus(_corpus(spark), max_docs_per_domain=1)
