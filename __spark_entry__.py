@@ -1772,8 +1772,9 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN hits h USING (doc_id)
         """,
         # duplicated-span removal: identical md5-keyed span accounting
-        # (chr(1)-joined 8-gram, df>=2, min-doc keeper), coverage via
-        # start+j expansion, whitespace-normalized rebuild
+        # (space-joined 8-gram — injective since tokens cannot contain
+        # whitespace; df>=2, min-doc keeper), coverage via start+j
+        # expansion, whitespace-normalized rebuild
         "doc_remove_dup_spans": r"""
             WITH toks AS (
                 SELECT doc_id,
@@ -1782,7 +1783,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ), occ AS (
                 SELECT doc_id, i - 1 AS start,
-                       md5(array_to_string(t[i:i+7], chr(1))) AS h
+                       md5(array_to_string(t[i:i+7], ' ')) AS h
                 FROM toks, UNNEST(range(1, len(t) - 8 + 2)) AS r(i)
                 WHERE len(t) >= 8
             ), dup AS (

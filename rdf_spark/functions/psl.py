@@ -250,8 +250,12 @@ def registrable_domain_psl(
         F.when(F.col("__s3").isin(*exc3) if exc3 else F.lit(False), 2)
         .when(F.col("__s2").isin(*exc2) if exc2 else F.lit(False), 1)
         .when(F.col("__sfx3").isNotNull(), 3)
-        .when(F.col("__s2").isin(*wildcard_bases) if wildcard_bases
-              else F.lit(False), 3)
+        # *.base only matches hosts with MORE labels than the base:
+        # the host 'kawasaki.jp' itself falls through to the plain/
+        # default rules (registrable = kawasaki.jp), per the
+        # publicsuffix.org algorithm
+        .when((F.col("__s2").isin(*wildcard_bases) if wildcard_bases
+               else F.lit(False)) & (F.col("__nl") >= 3), 3)
         .when(F.col("__sfx2").isNotNull() | wildcard, 2)
         .otherwise(1)
     )

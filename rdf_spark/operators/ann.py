@@ -183,8 +183,17 @@ def _margin_probes(queries: DataFrame, planes: int, nprobe: int,
         ),
         "",
     )
+    # struct sort keys: (score, n_flipped_bits, sorted flip planes,
+    # bucket). The bit-count and plane-array keys make margin TIES
+    # deterministic in the natural direction — fewest flips first,
+    # then lowest plane index — so a degenerate query (all margins
+    # equal, e.g. a zero/empty vector) probes the single plane-0 flip
+    # at nprobe=2, exactly what a SQL replay (argmin by |dot|, plane
+    # ASC) produces; bucket-string order alone would allow a multi-bit
+    # flip to win the tie.
     candidates = [
-        F.struct(F.lit(-1.0).alias("s"),
+        F.struct(F.lit(-1.0).alias("s"), F.lit(0).alias("k"),
+                 F.array().cast("array<int>").alias("p"),
                  F.array_join(F.col("__signs").cast("array<string>"), "")
                  .alias("b"))
     ]
@@ -194,7 +203,10 @@ def _margin_probes(queries: DataFrame, planes: int, nprobe: int,
         for i in idxs[1:]:
             score = score + F.element_at(F.col("__mg"), i + 1)["m"]
         flips = F.array(*[F.element_at(F.col("__mg"), i + 1)["p"] for i in idxs])
-        candidates.append(F.struct(score.alias("s"), flip_sig(flips).alias("b")))
+        candidates.append(F.struct(
+            score.alias("s"), F.lit(len(idxs)).alias("k"),
+            F.array_sort(flips).alias("p"), flip_sig(flips).alias("b"),
+        ))
     probes = F.transform(
         F.slice(F.array_sort(F.array(*candidates)), 1, nprobe),
         lambda st: st["b"],

@@ -681,8 +681,11 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
         F.col(id_col).alias("doc_id"),
         F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != "").alias("t"),
     )
-    # (doc_id, start, h) for every n-gram start; \x01 joiner cannot
-    # occur inside a whitespace-split token. Filter BEFORE the explode:
+    # (doc_id, start, h) for every n-gram start; the ' ' joiner is
+    # injective over fixed-length token windows because a whitespace-
+    # split token can never contain a space (\x01 would NOT be safe:
+    # \s does not match U+0001, so stray control bytes survive inside
+    # tokens). Filter BEFORE the explode:
     # sequence(0, size-n) on a shorter doc would auto-step DOWNWARD
     # (the lsh_signature trap) and feed slice() negative starts.
     occ = (
@@ -694,7 +697,7 @@ def remove_duplicated_spans(docs: DataFrame, n: int = 8, min_df: int = 2,
                     F.sequence(F.lit(0), F.size("t") - n),
                     lambda i: F.struct(
                         i.alias("start"),
-                        F.md5(F.array_join(F.slice("t", i + 1, n), "\x01")).alias("h"),
+                        F.md5(F.array_join(F.slice("t", i + 1, n), " ")).alias("h"),
                     ),
                 )
             ).alias("o"),

@@ -48,9 +48,12 @@ def main() -> None:
     ship_package(spark)
     from pyspark.sql import functions as F
 
-    pages_path = os.path.join(bench.build_corpus(spark), "pages.parquet")
-    base_pages = spark.read.parquet(pages_path)
-    scaled = f"/tmp/rdf_spark_scaling_pages_x{MULT}.parquet"
+    corpus = bench.build_corpus(spark)
+    base_pages = spark.read.parquet(os.path.join(corpus, "pages.parquet"))
+    # scaled corpus lives INSIDE the signature-keyed corpus cache dir,
+    # so a new sf dir / regenerated testdata invalidates it with the
+    # base corpus instead of silently reusing a stale replication
+    scaled = os.path.join(corpus, f"pages_x{MULT}.parquet")
     if not os.path.exists(os.path.join(scaled, "_SUCCESS")):
         (
             base_pages.crossJoin(

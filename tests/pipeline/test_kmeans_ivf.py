@@ -173,6 +173,24 @@ def test_lsh_margin_probes_dominate_plane_order(spark):
         assert cm <= cp * 1.25, (nprobe, cm, cp)
 
 
+def test_lsh_margin_probe_tie_break_is_plane_order(spark):
+    """A degenerate query (zero vector: every margin ties at 0) must
+    probe the exact bucket plus the single plane-0 flip at nprobe=2 —
+    fewest flips, lowest plane — not whichever multi-bit flip sorts
+    lexicographically smallest. This is the tie semantics a SQL
+    replay (argmin by |dot| then plane ASC) produces."""
+    from rdf_spark.operators.ann import _margin_probes
+
+    q = spark.createDataFrame([(0, [0.0, 0.0])],
+                              "vec_id long, embedding array<double>")
+    buckets = [r["bucket"] for r in
+               _margin_probes(q, planes=4, nprobe=2,
+                              id_col="vec_id", vec_col="embedding").collect()]
+    # zero dots -> all signs 1 (0.0 >= 0): exact '1111', then flip
+    # plane 0 -> '0111'
+    assert buckets == ["1111", "0111"], buckets
+
+
 def test_lsh_signature_empty_vector_defined(spark):
     """An empty embedding must produce a defined all-zero signature,
     not a null from the descending [0, -1] auto-sequence."""

@@ -81,6 +81,9 @@ def test_registrable_domain_psl(spark):
         # multi-label wildcard *.kawasaki.jp: foo.kawasaki.jp is public
         "http://foo.kawasaki.jp/": "",
         "http://bar.foo.kawasaki.jp/": "bar.foo.kawasaki.jp",
+        # ...but the wildcard needs >= 3 labels: the base itself falls
+        # through to the default jp rule and IS registrable
+        "http://kawasaki.jp/": "kawasaki.jp",
         # plain co.jp rule unaffected by the jp wildcards
         "http://shop.example.co.jp/": "example.co.jp",
     }
@@ -134,7 +137,7 @@ def test_psl_matches_reference_algorithm_in_batch(spark):
             slen = 1
         elif nl >= 3 and ".".join(labels[-3:]) in p3:
             slen = 3
-        elif nl >= 2 and ".".join(labels[-2:]) in wild_bases:
+        elif nl >= 3 and ".".join(labels[-2:]) in wild_bases:
             slen = 3
         elif (nl >= 2 and ".".join(labels[-2:]) in p2) or (
             labels[-1] in wild and nl >= 2
