@@ -1191,6 +1191,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 margin-ranked multi-probe under the hard gate
         # (nprobe=2 is SQL-replayable: argmin-margin single flip)
         "emb_lsh_topk_probe2": q_emb_lsh_topk_probe2,
+        # round-4 ops promoted for hard driver rows (decontamination
+        # screen + leakage-safe split assignment)
+        "doc_contamination": q_doc_contamination,
+        "web_assign_split": q_web_assign_split,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1211,13 +1215,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
-        "rdf_salted_degree": q_rdf_salted_degree,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         # training-data / curation
         "doc_quality": q_doc_quality,
         "web_url_normalize": q_web_url_normalize,
         "doc_pii": q_doc_pii,
-        "doc_repetition": q_doc_repetition,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
         # round-4 operator: cross-doc duplicated-span removal
@@ -1235,10 +1237,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # redundant with earlier rows, rows-only, or double-green in
         # r02+r03 driver records (rotated out in round 4:
         # token_stats/lang_id/fingerprint/predicate_histogram, plus
-        # emb_near_dups (vacuous 0-row sf0.01 match) and
-        # doc_subword_tokens (triple-green) whose slots went to the
-        # new emb_lsh_topk_probe2 / doc_remove_dup_spans rows), and
-        # stay covered by the local contract tests ---
+        # emb_near_dups (vacuous 0-row sf0.01 match),
+        # doc_subword_tokens, rdf_salted_degree and doc_repetition
+        # (all double/triple-green) whose slots went to the new
+        # emb_lsh_topk_probe2 / doc_remove_dup_spans /
+        # doc_contamination / web_assign_split rows), and stay
+        # covered by the local contract tests ---
+        "rdf_salted_degree": q_rdf_salted_degree,
+        "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
         "doc_subword_tokens": q_doc_subword_tokens,
         "doc_token_stats": q_doc_token_stats,
@@ -1254,8 +1260,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_po_map": q_rdf_po_map,
         "rdf_add_remove": q_rdf_add_remove,
         "emb_ivf_kmeans_topk": q_emb_ivf_kmeans_topk,
-        "doc_contamination": q_doc_contamination,
-        "web_assign_split": q_web_assign_split,
     }
 
 
