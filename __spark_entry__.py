@@ -303,6 +303,102 @@ def q_rdf_khop(spark, sf_dir):
     )
 
 
+def _kg_rank_edges(spark, sf_dir):
+    """Directed KG edge list with hub skew: customers and suppliers
+    point at their nation, nations at their region (regions are
+    dangling sinks — they exercise the dangling-mass redistribution)."""
+    c = _read(spark, sf_dir, "customer")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        c.select(
+            F.concat(F.lit(EX + "c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(s.select(
+            F.concat(F.lit(EX + "s"), F.col("s_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        ))
+    )
+
+
+def q_kg_pagerank(spark, sf_dir):
+    """3-iteration PageRank over the entity graph (textbook power
+    iteration with dangling-mass redistribution; oracle unrolls the
+    identical three iterations in SQL)."""
+    from rdf_spark.operators.graphalgo import pagerank
+
+    out = pagerank(_kg_rank_edges(spark, sf_dir), iters=3, damping=0.85)
+    return out.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_reachability(spark, sf_dir):
+    """Transitive closure (SPARQL `+` property path) over the
+    order -> customer -> nation -> region containment chain, pointer
+    doubling; oracle is a recursive CTE."""
+    from rdf_spark.operators.graphalgo import transitive_closure
+
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 32 == 0)
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    e = (
+        o.select(
+            F.concat(F.lit(EX + "o"), F.col("o_orderkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "c"), F.col("o_custkey").cast("string")).alias("dst"),
+        )
+        .unionByName(c.select(
+            F.concat(F.lit(EX + "c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        ))
+    )
+    return transitive_closure(e).select("src", "dst")
+
+
+def _nation_turtle_recrawl(spark, sf_dir) -> DataFrame:
+    """The nation corpus as a later crawl snapshot: every 7th nation's
+    page vanished, every 5th nation's name changed case."""
+    n = _read(spark, sf_dir, "nation").where(F.col("n_nationkey") % 7 != 0)
+    name = F.when(F.col("n_nationkey") % 5 == 0,
+                  F.lower(F.col("n_name"))).otherwise(F.col("n_name"))
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex/> .\n"),
+        F.lit("ex:n"), F.col("n_nationkey").cast("string"), F.lit(" a ex:Nation ;\n"),
+        F.lit('  ex:name "'), name, F.lit('" ;\n'),
+        F.lit("  ex:inRegion ex:r"), F.col("n_regionkey").cast("string"), F.lit(" .\n"),
+    )
+    url = F.concat(F.lit("http://crawl.example/nation/"), F.col("n_nationkey").cast("string"))
+    return n.select(url.alias("url"), F.lit("turtle").alias("format"), text.alias("text"))
+
+
+def q_kg_graph_diff(spark, sf_dir):
+    """Snapshot diff between two crawls of the nation KG (both sides
+    go through the real parser): added/removed triples only."""
+    from rdf_spark.operators.graphalgo import graph_diff
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    old = _parsed_nation_triples(spark, sf_dir)
+    new = good_triples(parse_pages(_nation_turtle_recrawl(spark, sf_dir)))
+    return graph_diff(old, new).select("subj", "pred", "obj_lex", "change")
+
+
+def q_kg_dangling_refs(spark, sf_dir):
+    """Referential-integrity screen on the nation KG: IRIs referenced
+    as objects but never described as subjects (here: the class IRI
+    and the region IRIs, which no page describes)."""
+    from rdf_spark.operators.graphalgo import dangling_refs
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return dangling_refs(t).select("iri", F.col("n_refs").cast("long").alias("n_refs"))
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -1195,12 +1291,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # screen + leakage-safe split assignment)
         "doc_contamination": q_doc_contamination,
         "web_assign_split": q_web_assign_split,
+        # round-4 graph analytics/integrity family (operators/
+        # graphalgo.py) — never driver-checked, promoted on landing;
+        # their slots come from triple-green rows (rdf_parse_star,
+        # rdf_iri_validate, rdf_xsd_validate, doc_minhash — green in
+        # r1+r2+r3, still locally oracled by test_entry_contract)
+        "kg_pagerank": q_kg_pagerank,
+        "kg_reachability": q_kg_reachability,
+        "kg_graph_diff": q_kg_graph_diff,
+        "kg_dangling_refs": q_kg_dangling_refs,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
-        "rdf_parse_star": q_rdf_parse_star,
         "rdf_parse_trig": q_rdf_parse_trig,
         "rdf_parse_star_nq": q_rdf_parse_star_nq,
         "rdf_parse_microdata": q_rdf_parse_microdata,
@@ -1212,10 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_khop": q_rdf_khop,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
-        "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
-        "rdf_xsd_validate": q_rdf_xsd_validate,
         # training-data / curation
         "doc_quality": q_doc_quality,
         "web_url_normalize": q_web_url_normalize,
@@ -1227,7 +1329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_filter_verdicts": q_doc_filter_verdicts,
         "doc_pack_sequences": q_doc_pack_sequences,
         "doc_exact_dedup": q_doc_exact_dedup,
-        "doc_minhash": q_doc_minhash,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
@@ -1243,6 +1344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_lsh_topk_probe2 / doc_remove_dup_spans /
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
+        "rdf_parse_star": q_rdf_parse_star,
+        "rdf_iri_validate": q_rdf_iri_validate,
+        "rdf_xsd_validate": q_rdf_xsd_validate,
+        "doc_minhash": q_doc_minhash,
         "rdf_salted_degree": q_rdf_salted_degree,
         "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
@@ -1418,6 +1523,120 @@ def oracle_sql() -> dict[str, str]:
             UNION
             SELECT DISTINCT 'http://ex/Nation', 1
             FROM nation WHERE n_nationkey % 5 = 0
+        """,
+        # 3 unrolled power iterations, bit-compatible with the Spark
+        # side: all constants forced to DOUBLE (DuckDB would otherwise
+        # compute 1 - 0.85 in exact DECIMAL, one ulp away from the
+        # Python double literal), dangling mass redistributed per
+        # round, final rank rounded to 6 places on both sides
+        "kg_pagerank": """
+            WITH e AS (
+                SELECT 'http://ex/c' || c_custkey AS src,
+                       'http://ex/n' || c_nationkey AS dst FROM customer
+                UNION ALL
+                SELECT 'http://ex/s' || s_suppkey,
+                       'http://ex/n' || s_nationkey FROM supplier
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey,
+                       'http://ex/r' || n_regionkey FROM nation
+            ), v AS (
+                SELECT src AS node FROM e UNION SELECT dst FROM e
+            ), nn AS (
+                SELECT CAST(count(*) AS DOUBLE) AS n FROM v
+            ), deg AS (
+                SELECT src AS node, CAST(count(*) AS DOUBLE) AS deg
+                FROM e GROUP BY 1
+            ), r0 AS (
+                SELECT v.node, deg.deg, CAST(1.0 AS DOUBLE) / nn.n AS pr
+                FROM v LEFT JOIN deg USING (node) CROSS JOIN nn
+            ), d1 AS (
+                SELECT coalesce(sum(pr), 0) AS dang FROM r0 WHERE deg IS NULL
+            ), c1 AS (
+                SELECT e.dst AS node, sum(r.pr / r.deg) AS c
+                FROM e JOIN r0 r ON r.node = e.src GROUP BY 1
+            ), r1 AS (
+                SELECT r.node, r.deg,
+                       (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * (coalesce(c1.c, 0) + d1.dang / nn.n) AS pr
+                FROM r0 r LEFT JOIN c1 USING (node)
+                CROSS JOIN nn CROSS JOIN d1
+            ), d2 AS (
+                SELECT coalesce(sum(pr), 0) AS dang FROM r1 WHERE deg IS NULL
+            ), c2 AS (
+                SELECT e.dst AS node, sum(r.pr / r.deg) AS c
+                FROM e JOIN r1 r ON r.node = e.src GROUP BY 1
+            ), r2 AS (
+                SELECT r.node, r.deg,
+                       (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * (coalesce(c2.c, 0) + d2.dang / nn.n) AS pr
+                FROM r1 r LEFT JOIN c2 USING (node)
+                CROSS JOIN nn CROSS JOIN d2
+            ), d3 AS (
+                SELECT coalesce(sum(pr), 0) AS dang FROM r2 WHERE deg IS NULL
+            ), c3 AS (
+                SELECT e.dst AS node, sum(r.pr / r.deg) AS c
+                FROM e JOIN r2 r ON r.node = e.src GROUP BY 1
+            ), r3 AS (
+                SELECT r.node, r.deg,
+                       (1 - CAST(0.85 AS DOUBLE)) / nn.n
+                       + CAST(0.85 AS DOUBLE)
+                         * (coalesce(c3.c, 0) + d3.dang / nn.n) AS pr
+                FROM r2 r LEFT JOIN c3 USING (node)
+                CROSS JOIN nn CROSS JOIN d3
+            )
+            SELECT node, round(pr, 6) AS "rank" FROM r3
+        """,
+        "kg_reachability": """
+            WITH RECURSIVE e AS (
+                SELECT 'http://ex/o' || o_orderkey AS src,
+                       'http://ex/c' || o_custkey AS dst
+                FROM orders WHERE o_orderkey % 32 = 0
+                UNION ALL
+                SELECT 'http://ex/c' || c_custkey,
+                       'http://ex/n' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey,
+                       'http://ex/r' || n_regionkey FROM nation
+            ), r AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+            )
+            SELECT src, dst FROM r
+        """,
+        "kg_graph_diff": f"""
+            WITH old AS (
+                {_NATION_TRIPLES_ORACLE}
+            ), new AS (
+                SELECT 'http://ex/n' || n_nationkey AS subj,
+                       '{RDF_TYPE}' AS pred, 'http://ex/Nation' AS obj_lex
+                FROM nation WHERE n_nationkey % 7 <> 0
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey, 'http://ex/name',
+                       CASE WHEN n_nationkey % 5 = 0 THEN lower(n_name)
+                            ELSE n_name END
+                FROM nation WHERE n_nationkey % 7 <> 0
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                       'http://ex/r' || n_regionkey
+                FROM nation WHERE n_nationkey % 7 <> 0
+            )
+            SELECT subj, pred, obj_lex, 'added' AS change
+            FROM (SELECT * FROM new EXCEPT SELECT * FROM old)
+            UNION ALL
+            SELECT subj, pred, obj_lex, 'removed'
+            FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+        """,
+        "kg_dangling_refs": """
+            WITH refs AS (
+                SELECT 'http://ex/Nation' AS iri FROM nation
+                UNION ALL
+                SELECT 'http://ex/r' || n_regionkey FROM nation
+            )
+            SELECT iri, CAST(count(*) AS BIGINT) AS n_refs
+            FROM refs GROUP BY 1
         """,
         "rdf_group_by_graph": """
             SELECT 'http://ex/region/' || n_regionkey AS graph,

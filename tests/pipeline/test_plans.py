@@ -182,3 +182,48 @@ def test_remove_duplicated_spans_no_cartesian(spark, tmp_path):
     plan = _plan(remove_duplicated_spans(spark.read.parquet(p), n=4))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     assert "partial_count" in plan, plan
+
+
+def test_pagerank_iteration_no_data_cartesian(spark):
+    """One PageRank iteration's plan: the contribution join is an
+    equi-join on the vertex key and the only nested-loop is the
+    broadcast of the 1-row N / dangling-mass aggregates (a constant,
+    not a data-path cartesian product). A CartesianProduct on the
+    rank x edges path would be quadratic at KG scale."""
+    from rdf_spark.operators.graphalgo import pagerank
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    plan = _plan(pagerank(e, iters=1))
+    assert "CartesianProduct" not in plan, plan
+    # the cross-joined scalars must arrive broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dangling_refs_partial_agg_and_anti_join(triples_parquet):
+    """Referential-integrity screen: hub IRIs (rdf:type targets) are
+    the skewed keys — the count must combine map-side (partial_count)
+    before the shuffle, and the subject check is an anti equi-join."""
+    from rdf_spark.operators.graphalgo import dangling_refs
+
+    plan = _plan(dangling_refs(triples_parquet))
+    assert "partial_count" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_graph_diff_is_two_anti_equi_joins(spark):
+    """Snapshot diff: both directions are anti equi-joins on the
+    triple key — no full outer join materializing the unchanged
+    majority, no nested-loop fallback."""
+    from rdf_spark.operators.graphalgo import graph_diff
+
+    cols = "subj string, pred string, obj_lex string"
+    old = spark.createDataFrame([("s1", "p", "o1"), ("s2", "p", "o2")], cols)
+    new = spark.createDataFrame([("s2", "p", "o2"), ("s3", "p", "o3")], cols)
+    plan = _plan(graph_diff(old, new))
+    assert plan.count("LeftAnti") == 2, plan
+    assert "FullOuter" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
