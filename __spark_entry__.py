@@ -389,6 +389,60 @@ def q_kg_graph_diff(spark, sf_dir):
     return graph_diff(old, new).select("subj", "pred", "obj_lex", "change")
 
 
+def q_rdf_path_coregion(spark, sf_dir):
+    """SPARQL property path `<inRegion>/^<inRegion>` over the parsed
+    nation KG: nation pairs sharing a region (self-pairs included —
+    SPARQL pair semantics); oracle is a region self-join."""
+    from rdf_spark.operators.paths import eval_path
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return eval_path(t, "<http://ex/inRegion>/^<http://ex/inRegion>")
+
+
+def q_rdf_path_star(spark, sf_dir):
+    """Property path `<in>*/<memberOf>` over the containment graph
+    (orders -in-> customer -in-> nation -memberOf-> region):
+    zero-or-more closure then one step — every entity's region, with
+    the zero-length case contributing the nations' own memberOf
+    edge."""
+    from rdf_spark.operators.paths import eval_path
+
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 32 == 0)
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    t = (
+        o.select(
+            F.concat(F.lit(EX + "o"), F.col("o_orderkey").cast("string")).alias("subj"),
+            F.lit(EX + "in").alias("pred"),
+            F.concat(F.lit(EX + "c"), F.col("o_custkey").cast("string")).alias("obj_lex"),
+        )
+        .unionByName(c.select(
+            F.concat(F.lit(EX + "c"), F.col("c_custkey").cast("string")).alias("subj"),
+            F.lit(EX + "in").alias("pred"),
+            F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")).alias("obj_lex"),
+        ))
+        .unionByName(n.select(
+            F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit(EX + "memberOf").alias("pred"),
+            F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
+        ))
+    )
+    return eval_path(t, f"<{EX}in>*/<{EX}memberOf>")
+
+
+def q_kg_apply_diff(spark, sf_dir):
+    """Roundtrip gate for the snapshot-delta pair: applying
+    graph_diff(old, new) onto old must recover new exactly (both
+    snapshots built through the real parser); the oracle is the new
+    snapshot itself."""
+    from rdf_spark.operators.graphalgo import apply_diff, graph_diff
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    old = _parsed_nation_triples(spark, sf_dir)
+    new = good_triples(parse_pages(_nation_turtle_recrawl(spark, sf_dir)))
+    return apply_diff(old, graph_diff(old, new)).select("subj", "pred", "obj_lex")
+
+
 def q_kg_dangling_refs(spark, sf_dir):
     """Referential-integrity screen on the nation KG: IRIs referenced
     as objects but never described as subjects (here: the class IRI
@@ -1348,6 +1402,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         "doc_minhash": q_doc_minhash,
+        "kg_apply_diff": q_kg_apply_diff,
+        "rdf_path_coregion": q_rdf_path_coregion,
+        "rdf_path_star": q_rdf_path_star,
         "rdf_salted_degree": q_rdf_salted_degree,
         "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
@@ -1628,6 +1685,60 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT subj, pred, obj_lex, 'removed'
             FROM (SELECT * FROM old EXCEPT SELECT * FROM new)
+        """,
+        # the apply_diff roundtrip must land exactly on the new
+        # snapshot, so the oracle IS the new snapshot
+        "kg_apply_diff": f"""
+            SELECT DISTINCT * FROM (
+                SELECT 'http://ex/n' || n_nationkey AS subj,
+                       '{RDF_TYPE}' AS pred, 'http://ex/Nation' AS obj_lex
+                FROM nation WHERE n_nationkey % 7 <> 0
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey, 'http://ex/name',
+                       CASE WHEN n_nationkey % 5 = 0 THEN lower(n_name)
+                            ELSE n_name END
+                FROM nation WHERE n_nationkey % 7 <> 0
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                       'http://ex/r' || n_regionkey
+                FROM nation WHERE n_nationkey % 7 <> 0
+            )
+        """,
+        "rdf_path_coregion": """
+            SELECT DISTINCT 'http://ex/n' || a.n_nationkey AS src,
+                            'http://ex/n' || b.n_nationkey AS dst
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+        """,
+        # star = identity over every term in the triple table UNION the
+        # in-closure (chain depth is exactly 2 here, so in UNION in∘in
+        # is the full closure); then one memberOf step
+        "rdf_path_star": """
+            WITH inedges AS (
+                SELECT 'http://ex/o' || o_orderkey AS src,
+                       'http://ex/c' || o_custkey AS dst
+                FROM orders WHERE o_orderkey % 32 = 0
+                UNION ALL
+                SELECT 'http://ex/c' || c_custkey,
+                       'http://ex/n' || c_nationkey FROM customer
+            ), member AS (
+                SELECT 'http://ex/n' || n_nationkey AS src,
+                       'http://ex/r' || n_regionkey AS dst FROM nation
+            ), star AS (
+                SELECT src, dst FROM inedges
+                UNION
+                SELECT a.src, b.dst
+                FROM inedges a JOIN inedges b ON a.dst = b.src
+                UNION
+                SELECT n, n FROM (
+                    SELECT src AS n FROM inedges
+                    UNION SELECT dst FROM inedges
+                    UNION SELECT src FROM member
+                    UNION SELECT dst FROM member
+                )
+            )
+            SELECT DISTINCT s.src, m.dst
+            FROM star s JOIN member m ON s.dst = m.src
         """,
         "kg_dangling_refs": """
             WITH refs AS (

@@ -180,6 +180,34 @@ def graph_diff(
     return added.unionByName(removed)
 
 
+def apply_diff(
+    base: DataFrame,
+    diff: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Apply a ``graph_diff`` delta to a snapshot: drop the
+    ``removed`` keys, union the ``added`` rows -> the next snapshot
+    (set semantics). Inverse of :func:`graph_diff` by construction:
+    ``apply_diff(old, graph_diff(old, new))`` equals ``new`` as a
+    set — the roundtrip the contract query checks through the real
+    parser on both sides.
+
+    At real scale this is the read-side of an Iceberg MERGE feed:
+    one anti equi-join on the triple key (broadcastable when the
+    delta is small — the common incremental-crawl case) plus a
+    union; the unchanged majority is never shuffled wider than the
+    join key and never materialized twice."""
+    key_cols = key_cols or ["subj", "pred", "obj_lex"]
+    added = diff.where(F.col("change") == "added").select(*key_cols)
+    removed = diff.where(F.col("change") == "removed").select(*key_cols)
+    base_k = base.select(*key_cols).distinct()
+    return (
+        base_k.join(removed, key_cols, "left_anti")
+        .unionByName(added)
+        .distinct()
+    )
+
+
 def dangling_refs(triples: DataFrame) -> DataFrame:
     """Referential integrity screen: IRIs used as objects that never
     occur as a subject anywhere in the graph -> ``(iri, n_refs)``.

@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdf_spark.operators.graphalgo import (
+    apply_diff,
     dangling_refs,
     graph_diff,
     pagerank,
@@ -127,6 +128,31 @@ class TestGraphDiff:
         )
         got = {(r.subj, r.change) for r in graph_diff(old, new).collect()}
         assert got == {("s4", "added"), ("s1", "removed")}
+
+
+class TestApplyDiff:
+    COLS = "subj string, pred string, obj_lex string"
+
+    def test_roundtrip_recovers_new_snapshot(self, spark):
+        old = spark.createDataFrame(
+            [("s1", "p", "o1"), ("s2", "p", "o2"), ("s3", "p", "o3")],
+            self.COLS,
+        )
+        new = spark.createDataFrame(
+            [("s2", "p", "o2"), ("s3", "p", "o3b"), ("s4", "p", "o4")],
+            self.COLS,
+        )
+        got = apply_diff(old, graph_diff(old, new))
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, new.distinct().collect())
+        )
+
+    def test_empty_diff_is_identity_set(self, spark):
+        old = spark.createDataFrame(
+            [("s1", "p", "o1"), ("s1", "p", "o1")], self.COLS
+        )
+        got = apply_diff(old, graph_diff(old, old))
+        assert sorted(map(tuple, got.collect())) == [("s1", "p", "o1")]
 
 
 class TestDanglingRefs:
