@@ -430,6 +430,67 @@ def q_rdf_path_star(spark, sf_dir):
     return eval_path(t, f"<{EX}in>*/<{EX}memberOf>")
 
 
+def q_kg_fuse_latest(spark, sf_dir):
+    """Temporal conflict resolution: each order asserts its customer's
+    current status; keep the most recent claim per (customer,
+    lastStatus), date ties broken to the canonically smallest value on
+    both sides."""
+    from rdf_spark.operators.fuse import latest_values
+
+    o = _read(spark, sf_dir, "orders")
+    t = o.select(
+        F.concat(F.lit(EX + "c"), F.col("o_custkey").cast("string")).alias("subj"),
+        F.lit(EX + "lastStatus").alias("pred"),
+        F.col("o_orderstatus").alias("obj_lex"),
+        F.col("o_orderdate").alias("warc_ts"),
+    )
+    return latest_values(t).select("subj", "pred", "obj_lex")
+
+
+def q_kg_fuse_majority(spark, sf_dir):
+    """Truth discovery by support: every customer asserts its nation's
+    name (a third of them in the wrong case); majority vote per
+    (nation, name) with deterministic tie-break."""
+    from rdf_spark.operators.fuse import majority_vote
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    t = cn.select(
+        F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit(EX + "name").alias("pred"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lower(F.col("n_name")))
+        .otherwise(F.col("n_name"))
+        .alias("obj_lex"),
+    )
+    return majority_vote(t)
+
+
+def q_kg_fuzzy_link(spark, sf_dir):
+    """Edit-distance entity linking: customer-side nation mentions
+    (some suffixed, some case-folded) against the nation dictionary;
+    blocked broadcast join + JVM levenshtein, best match per distinct
+    mention."""
+    from rdf_spark.operators.fuse import fuzzy_link
+
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    cn = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    mentions = cn.select(
+        F.when(F.col("c_custkey") % 7 == 0, F.concat(F.col("n_name"), F.lit("x")))
+        .when(F.col("c_custkey") % 11 == 0, F.lower(F.col("n_name")))
+        .otherwise(F.col("n_name"))
+        .alias("mention")
+    )
+    d = n.select(
+        F.col("n_name").alias("surface"),
+        F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias(
+            "canonical_iri"
+        ),
+    )
+    return fuzzy_link(mentions, d, max_dist=2)
+
+
 def q_kg_apply_diff(spark, sf_dir):
     """Roundtrip gate for the snapshot-delta pair: applying
     graph_diff(old, new) onto old must recover new exactly (both
@@ -1403,6 +1464,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_xsd_validate": q_rdf_xsd_validate,
         "doc_minhash": q_doc_minhash,
         "kg_apply_diff": q_kg_apply_diff,
+        "kg_fuse_latest": q_kg_fuse_latest,
+        "kg_fuse_majority": q_kg_fuse_majority,
+        "kg_fuzzy_link": q_kg_fuzzy_link,
         "rdf_path_coregion": q_rdf_path_coregion,
         "rdf_path_star": q_rdf_path_star,
         "rdf_salted_degree": q_rdf_salted_degree,
@@ -1703,6 +1767,71 @@ def oracle_sql() -> dict[str, str]:
                        'http://ex/r' || n_regionkey
                 FROM nation WHERE n_nationkey % 7 <> 0
             )
+        """,
+        "kg_fuse_latest": """
+            WITH t AS (
+                SELECT 'http://ex/c' || o_custkey AS subj,
+                       'http://ex/lastStatus' AS pred,
+                       o_orderstatus AS obj_lex, o_orderdate AS ts
+                FROM orders
+            ), r AS (
+                SELECT subj, pred, obj_lex,
+                       row_number() OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY ts DESC, obj_lex ASC) AS rn
+                FROM t
+            )
+            SELECT subj, pred, obj_lex FROM r WHERE rn = 1
+        """,
+        "kg_fuse_majority": """
+            WITH t AS (
+                SELECT 'http://ex/n' || n_nationkey AS subj,
+                       'http://ex/name' AS pred,
+                       CASE WHEN c_custkey % 3 = 0 THEN lower(n_name)
+                            ELSE n_name END AS obj_lex
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), c AS (
+                SELECT subj, pred, obj_lex,
+                       CAST(count(*) AS BIGINT) AS support
+                FROM t GROUP BY 1, 2, 3
+            ), r AS (
+                SELECT *, row_number() OVER (
+                           PARTITION BY subj, pred
+                           ORDER BY support DESC, obj_lex ASC) AS rn
+                FROM c
+            )
+            SELECT subj, pred, obj_lex, support FROM r WHERE rn = 1
+        """,
+        # replicates fuzzy_link's documented blocking contract exactly:
+        # first-char block + length band, case-insensitive levenshtein,
+        # best match per DISTINCT mention, ties to min surface
+        "kg_fuzzy_link": """
+            WITH m AS (
+                SELECT DISTINCT
+                       CASE WHEN c_custkey % 7 = 0 THEN n_name || 'x'
+                            WHEN c_custkey % 11 = 0 THEN lower(n_name)
+                            ELSE n_name END AS mention
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ), d AS (
+                SELECT n_name AS s,
+                       'http://ex/n' || n_nationkey AS iri
+                FROM nation
+            ), cand AS (
+                SELECT m.mention, d.iri, d.s,
+                       levenshtein(lower(m.mention), lower(d.s)) AS dist
+                FROM m JOIN d
+                  ON substr(lower(m.mention), 1, 1) = substr(lower(d.s), 1, 1)
+                WHERE abs(length(m.mention) - length(d.s)) <= 2
+                  AND levenshtein(lower(m.mention), lower(d.s)) <= 2
+            ), r AS (
+                SELECT mention, iri AS canonical_iri,
+                       CAST(dist AS INT) AS dist,
+                       row_number() OVER (
+                           PARTITION BY mention
+                           ORDER BY dist ASC, s ASC) AS rn
+                FROM cand
+            )
+            SELECT mention, canonical_iri, dist FROM r WHERE rn = 1
         """,
         "rdf_path_coregion": """
             SELECT DISTINCT 'http://ex/n' || a.n_nationkey AS src,

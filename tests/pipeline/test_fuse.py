@@ -1,0 +1,139 @@
+"""Knowledge fusion (operators/fuse.py): latest/majority conflict
+resolution vs hand-computed winners (ties, NULL timestamps, weighted
+support) and fuzzy entity linking vs an independent python
+edit-distance scan (within the documented blocking recall contract)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_spark.operators.fuse import fuzzy_link, latest_values, majority_vote
+
+
+def _ts(day):
+    return datetime.datetime(2026, 1, day)
+
+
+class TestLatestValues:
+    def test_latest_wins_and_ties_break_canonically(self, spark):
+        rows = [
+            ("s1", "p", "old", _ts(1)),
+            ("s1", "p", "new", _ts(9)),
+            # s2: two claims at the same instant -> min obj_lex wins
+            ("s2", "p", "bbb", _ts(5)),
+            ("s2", "p", "aaa", _ts(5)),
+            # s3: only NULL-ts claims -> still resolved
+            ("s3", "p", "only", None),
+            # s4: NULL ts loses to any timestamped claim
+            ("s4", "p", "nullts", None),
+            ("s4", "p", "dated", _ts(2)),
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj_lex string, warc_ts timestamp"
+        )
+        got = {(r.subj, r.obj_lex) for r in latest_values(df).collect()}
+        assert got == {
+            ("s1", "new"), ("s2", "aaa"), ("s3", "only"), ("s4", "dated")
+        }
+
+
+class TestMajorityVote:
+    def test_counts_and_ties(self, spark):
+        rows = [
+            ("s1", "p", "x"), ("s1", "p", "x"), ("s1", "p", "y"),
+            # s2: 1-1 tie -> min obj_lex
+            ("s2", "p", "b"), ("s2", "p", "a"),
+        ]
+        df = spark.createDataFrame(rows, "subj string, pred string, obj_lex string")
+        got = {(r.subj, r.obj_lex, r.support) for r in majority_vote(df).collect()}
+        assert got == {("s1", "x", 2), ("s2", "a", 1)}
+
+    def test_weighted_support(self, spark):
+        rows = [
+            ("s1", "p", "rare_but_trusted", 10),
+            ("s1", "p", "common", 3),
+            ("s1", "p", "common", 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "subj string, pred string, obj_lex string, support long"
+        )
+        got = majority_vote(df, support_col="support").collect()
+        assert [(r.obj_lex, r.support) for r in got] == [("rare_but_trusted", 10)]
+
+
+DICT = [
+    ("Germany", "ex:de"),
+    ("France", "ex:fr"),
+    ("Greece", "ex:gr"),
+]
+
+
+class TestFuzzyLink:
+    def _dict(self, spark):
+        return spark.createDataFrame(DICT, "surface string, canonical_iri string")
+
+    def test_exact_case_and_typo_matches(self, spark):
+        mentions = spark.createDataFrame(
+            [("germany",), ("Francce",), ("Grece",), ("Zimbabwe",)],
+            "mention string",
+        )
+        got = {
+            (r.mention, r.canonical_iri, r.dist)
+            for r in fuzzy_link(mentions, self._dict(spark)).collect()
+        }
+        # Zimbabwe: no candidate within 2 edits -> dropped
+        assert got == {
+            ("germany", "ex:de", 0),
+            ("Francce", "ex:fr", 1),
+            ("Grece", "ex:gr", 1),
+        }
+
+    def test_best_match_tie_breaks_to_min_surface(self, spark):
+        d = spark.createDataFrame(
+            [("abcd", "ex:1"), ("abce", "ex:2")],
+            "surface string, canonical_iri string",
+        )
+        m = spark.createDataFrame([("abcf",)], "mention string")
+        got = fuzzy_link(m, d).collect()
+        assert [(r.canonical_iri, r.dist) for r in got] == [("ex:1", 1)]
+
+    def test_matches_python_scan_within_blocking_contract(self, spark):
+        # randomized-ish deterministic corpus: interior edits only, so
+        # the first-char blocking misses nothing and the operator must
+        # equal a full O(n*m) python scan
+        surfaces = ["alpha", "bravo", "charlie", "delta", "echo", "alphb"]
+        d = spark.createDataFrame(
+            [(s, f"ex:{s}") for s in surfaces],
+            "surface string, canonical_iri string",
+        )
+        mentions = ["alpa", "brravo", "charlee", "dlta", "exho", "zulu", "alp"]
+        m = spark.createDataFrame([(x,) for x in mentions], "mention string")
+
+        def lev(a, b):
+            import numpy as np
+            dp = np.arange(len(b) + 1)
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(
+                        dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                    )
+            return int(dp[len(b)])
+
+        want = {}
+        for x in mentions:
+            best = sorted(
+                (
+                    (lev(x.lower(), s.lower()), s)
+                    for s in surfaces
+                    if lev(x.lower(), s.lower()) <= 2
+                ),
+            )
+            if best:
+                want[x] = (f"ex:{best[0][1]}", best[0][0])
+        got = {
+            r.mention: (r.canonical_iri, r.dist)
+            for r in fuzzy_link(m, d).collect()
+        }
+        assert got == want

@@ -227,3 +227,31 @@ def test_graph_diff_is_two_anti_equi_joins(spark):
     assert plan.count("LeftAnti") == 2, plan
     assert "FullOuter" not in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_fuzzy_link_broadcasts_dictionary(spark):
+    """Edit-distance linking: the dictionary side must arrive as a
+    BroadcastHashJoin on the block key — a sort-merge join (or worse,
+    a cartesian with the levenshtein as post-filter) would shuffle
+    the 100 TB mention side."""
+    from rdf_spark.operators.fuse import fuzzy_link
+
+    m = spark.createDataFrame([("Germany",), ("Frannce",)], "mention string")
+    d = spark.createDataFrame(
+        [("Germany", "ex:de"), ("France", "ex:fr")],
+        "surface string, canonical_iri string",
+    )
+    plan = _plan(fuzzy_link(m, d))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_majority_vote_partial_aggregation(triples_parquet):
+    """Claim counting must combine map-side before the shuffle — hot
+    values of a contested (subj, pred) are exactly the skewed keys."""
+    from rdf_spark.operators.fuse import majority_vote
+
+    plan = _plan(majority_vote(triples_parquet))
+    assert "partial_count" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
