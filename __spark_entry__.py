@@ -407,10 +407,17 @@ def q_rdf_path_star(spark, sf_dir):
     edge."""
     from rdf_spark.operators.paths import eval_path
 
+    t = _containment_triples(spark, sf_dir)
+    return eval_path(t, f"<{EX}in>*/<{EX}memberOf>")
+
+
+def _containment_triples(spark, sf_dir):
+    """orders -in-> customer -in-> nation -memberOf-> region as a
+    minimal triple table (subj, pred, obj_lex)."""
     o = _read(spark, sf_dir, "orders").where(F.col("o_orderkey") % 32 == 0)
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
-    t = (
+    return (
         o.select(
             F.concat(F.lit(EX + "o"), F.col("o_orderkey").cast("string")).alias("subj"),
             F.lit(EX + "in").alias("pred"),
@@ -427,7 +434,28 @@ def q_rdf_path_star(spark, sf_dir):
             F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("obj_lex"),
         ))
     )
-    return eval_path(t, f"<{EX}in>*/<{EX}memberOf>")
+
+
+def q_rdf_bgp_path(spark, sf_dir):
+    """BGP with a property-path pattern: the `+` closure of `in`
+    equi-joined with a plain memberOf pattern through the shared
+    variable — every entity's nation and that nation's region."""
+    from rdf_spark.operators.graphops import bgp_match
+
+    t = _containment_triples(spark, sf_dir)
+    return bgp_match(
+        t,
+        [("?x", f"<{EX}in>+", "?n"), ("?n", EX + "memberOf", "?r")],
+    )
+
+
+def q_kg_profile(spark, sf_dir):
+    """Schema-discovery profile of the parsed nation KG: per-predicate
+    triple/subject/object counts and IRI-vs-literal object split."""
+    from rdf_spark.operators.graphops import graph_profile
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return graph_profile(t)
 
 
 def q_kg_fuse_latest(spark, sf_dir):
@@ -1469,6 +1497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fuzzy_link": q_kg_fuzzy_link,
         "rdf_path_coregion": q_rdf_path_coregion,
         "rdf_path_star": q_rdf_path_star,
+        "rdf_bgp_path": q_rdf_bgp_path,
+        "kg_profile": q_kg_profile,
         "rdf_salted_degree": q_rdf_salted_degree,
         "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
@@ -1868,6 +1898,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT s.src, m.dst
             FROM star s JOIN member m ON s.dst = m.src
+        """,
+        "rdf_bgp_path": """
+            WITH inedges AS (
+                SELECT 'http://ex/o' || o_orderkey AS src,
+                       'http://ex/c' || o_custkey AS dst
+                FROM orders WHERE o_orderkey % 32 = 0
+                UNION ALL
+                SELECT 'http://ex/c' || c_custkey,
+                       'http://ex/n' || c_nationkey FROM customer
+            ), closure AS (
+                -- chain depth is exactly 2, so in UNION in∘in is the
+                -- full + closure
+                SELECT src, dst FROM inedges
+                UNION
+                SELECT a.src, b.dst
+                FROM inedges a JOIN inedges b ON a.dst = b.src
+            ), member AS (
+                SELECT 'http://ex/n' || n_nationkey AS src,
+                       'http://ex/r' || n_regionkey AS dst FROM nation
+            )
+            SELECT DISTINCT c.src AS x, c.dst AS n, m.dst AS r
+            FROM closure c JOIN member m ON c.dst = m.src
+        """,
+        "kg_profile": f"""
+            SELECT '{RDF_TYPE}' AS pred,
+                   CAST(count(*) AS BIGINT) AS n_triples,
+                   CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_subjects,
+                   CAST(1 AS BIGINT) AS n_objects,
+                   CAST(count(*) AS BIGINT) AS n_iri_objects,
+                   CAST(0 AS BIGINT) AS n_literal_objects
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/name', CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT n_nationkey) AS BIGINT),
+                   CAST(count(DISTINCT n_name) AS BIGINT),
+                   CAST(0 AS BIGINT), CAST(count(*) AS BIGINT)
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/inRegion', CAST(count(*) AS BIGINT),
+                   CAST(count(DISTINCT n_nationkey) AS BIGINT),
+                   CAST(count(DISTINCT n_regionkey) AS BIGINT),
+                   CAST(count(*) AS BIGINT), CAST(0 AS BIGINT)
+            FROM nation
         """,
         "kg_dangling_refs": """
             WITH refs AS (

@@ -75,6 +75,15 @@ def bgp_match(triples: DataFrame, patterns) -> DataFrame:
     starting with ``?`` is a variable and anything else is a constant
     (IRI/literal lexical form); None is a don't-care wildcard.
 
+    The predicate position also accepts a SPARQL property-path
+    expression (recognized by its first character ``<``, ``^``, ``!``
+    or ``(`` — the operators/paths.py syntax, full-IRI terminals):
+    that pattern's relation becomes the evaluated ``(src, dst)`` pair
+    set instead of a triple scan, so `` (?a, "<broader>+/<label>",
+    ?l) `` composes closures with ordinary patterns through the same
+    shared-variable equi-joins. A path pattern binds only its
+    endpoints (no predicate variable, no graph column).
+
     Spark-first design (no reference counterpart — the reference stops
     at single-pattern Find/FindAll, graph.go:17-39): each pattern is a
     constant-filtered projection of the triple table (filters push
@@ -89,6 +98,26 @@ def bgp_match(triples: DataFrame, patterns) -> DataFrame:
 
     def one(p):
         s, pr, o = p
+        if isinstance(pr, str) and pr[:1] in "<^!(" and not pr.startswith("?"):
+            from .paths import eval_path
+
+            pairs = eval_path(triples, pr)
+            df = pairs
+            cols = []
+            seen = {}
+            for col, val in (("src", s), ("dst", o)):
+                if val is None:
+                    continue
+                if isinstance(val, str) and val.startswith("?"):
+                    var = val[1:]
+                    if var in seen:  # same var at both endpoints
+                        df = df.where(F.col(col) == F.col(seen[var]))
+                    else:
+                        seen[var] = col
+                        cols.append(F.col(col).alias(var))
+                else:
+                    df = df.where(F.col(col) == val)
+            return df.select(*cols), set(seen)
         df = triples
         cols = []
         seen = {}
@@ -121,6 +150,30 @@ def bgp_match(triples: DataFrame, patterns) -> DataFrame:
         bound |= vs
         order += [c for c in df.columns if c not in order]
     return out.select(*order)  # variables in first-seen order
+
+
+def graph_profile(triples: DataFrame) -> DataFrame:
+    """Schema discovery over an unknown KG: per-predicate usage stats
+    ``(pred, n_triples, n_subjects, n_objects, n_iri_objects,
+    n_literal_objects)`` — the first report anyone runs on a freshly
+    constructed graph (which predicates exist, their fan-out, whether
+    they are object or datatype properties).
+
+    One shuffle on pred; counts partial-aggregate map-side. The
+    distinct counts are exact (two expand-style distinct aggregates) —
+    at 10^12 triples swap in approx_count_distinct for a sketch-sized
+    plan; exact is kept here so the DuckDB oracle can replay it."""
+    from ..terms import KIND_IRI, KIND_LITERAL
+
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_triples"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj_lex").alias("n_objects"),
+        F.sum((F.col("obj_kind") == KIND_IRI).cast("long")).alias("n_iri_objects"),
+        F.sum((F.col("obj_kind") == KIND_LITERAL).cast("long")).alias(
+            "n_literal_objects"
+        ),
+    )
 
 
 def khop_neighbors(triples: DataFrame, start_subjects: DataFrame,

@@ -76,3 +76,39 @@ def test_khop_min_hops_and_early_stop(spark, kg):
     got = {r["entity"]: r["hops"]
            for r in khop_neighbors(kg, start, k=10).collect()}
     assert got == {E + "a": 0, E + "b": 1, E + "c": 2, E + "d": 3}
+
+
+def test_bgp_path_pattern_composes_with_plain_pattern(kg):
+    # everyone transitively known from ?x, with ?x's name — the path
+    # pattern's closure pairs equi-join the name pattern on ?x
+    E = "http://ex/"
+    got = sorted(
+        tuple(r) for r in bgp_match(
+            kg, [("?x", f"<{E}knows>+", "?y"), ("?x", E + "name", "?n")]
+        ).collect()
+    )
+    assert got == [
+        (E + "a", E + "b", "Alice"),
+        (E + "a", E + "c", "Alice"),
+        (E + "a", E + "d", "Alice"),
+        (E + "b", E + "c", "Bob"),
+        (E + "b", E + "d", "Bob"),
+    ]
+
+
+def test_bgp_path_pattern_constant_endpoint_and_inverse(kg):
+    E = "http://ex/"
+    got = sorted(
+        tuple(r) for r in bgp_match(
+            kg, [(E + "d", f"^<{E}knows>+", "?who"),
+                 ("?who", E + "name", "?n")]
+        ).collect()
+    )
+    assert got == [(E + "a", "Alice"), (E + "b", "Bob")]
+
+
+def test_bgp_path_pattern_repeated_endpoint_var(kg):
+    E = "http://ex/"
+    got = [tuple(r) for r in
+           bgp_match(kg, [("?x", f"<{E}knows>+", "?x")]).collect()]
+    assert got == [(E + "loop",)]
