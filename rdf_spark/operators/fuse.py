@@ -15,13 +15,13 @@ write. Strategies here are the two classic deterministic ones:
   asserted most often (optionally weighted by a support column, e.g.
   distinct-source counts from canonical dedupe).
 
-Both are ONE hash-partial-aggregated shuffle on (subj, pred) followed
-by a window rank inside each key — the same shape at 100 TB, because
-(subj, pred) cardinality grows with the corpus (no giant single
-group: one entity-attribute rarely has 10^8 distinct claims; if one
-does, the salted two-phase escalation in operators/dedup.py applies
-verbatim). Ties are broken canonically (min obj_lex) so output is
-deterministic and oracle-replayable.
+Both keep hot keys shuffle-safe: latest_values is a distributed
+argmax (partial-aggregated max + skew-splittable join + partial min);
+majority_vote partial-counts per (key, value) before its shuffle and
+only window-ranks the per-key distinct-claim list (small by
+construction — distinct values per entity-attribute, not claims).
+Ties are broken canonically (min obj_lex) so output is deterministic
+and oracle-replayable.
 
 :func:`fuzzy_link` extends exact-dictionary entity linking
 (operators/link.py) to typo'd mentions: blocked candidate generation
@@ -45,17 +45,25 @@ def latest_values(
     """Per key, keep the single most recent value; ties on the
     timestamp break to the canonically smallest value (deterministic).
 
-    One shuffle on the key + one in-partition window sort. Input rows
-    with NULL timestamps lose to any timestamped row (``desc_nulls_
-    last``) but still win keys that only have NULL-ts claims."""
+    Distributed argmax, NOT a window: max(ts) per key with map-side
+    partial aggregation, an equi-join back onto the claims (AQE's
+    skew-join splits a hot key's probe side — a window partition
+    cannot be split), then a partial-aggregated min over the
+    tied-for-latest values. ``max`` ignores NULL timestamps, so
+    NULL-ts claims lose to any dated claim but still win keys that
+    only have NULL-ts claims (the join's null-safe equality keeps
+    them comparable)."""
     key_cols = key_cols or ["subj", "pred"]
-    w = Window.partitionBy(*key_cols).orderBy(
-        F.col(ts_col).desc_nulls_last(), F.col(value_col).asc()
-    )
+    claims = triples.select(*key_cols, value_col, ts_col)
+    best = claims.groupBy(*key_cols).agg(F.max(ts_col).alias("__best_ts"))
     return (
-        triples.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(*key_cols, value_col, ts_col)
+        claims.join(best, key_cols)
+        .where(F.col(ts_col).eqNullSafe(F.col("__best_ts")))
+        .groupBy(*key_cols)
+        .agg(
+            F.min(value_col).alias(value_col),
+            F.max(ts_col).alias(ts_col),
+        )
     )
 
 
@@ -117,9 +125,12 @@ def fuzzy_link(
     Scale shape: the dictionary is broadcast; candidates come from an
     equi-join on (block key, plus a length band |len(m)-len(s)| <=
     max_dist enforced as a post-filter the optimizer keeps beside the
-    join) — the 100 TB mention side is never shuffled, never
-    all-pairs-compared. ``levenshtein`` is a JVM builtin inside
-    whole-stage codegen; no Python in the row path."""
+    join) — the 100 TB mention side is never all-pairs-compared, and
+    the only shuffle is the final best-match aggregate on the mention
+    key, which partial-combines map-side (hot mentions collapse to
+    one struct per input partition before the exchange).
+    ``levenshtein`` is a JVM builtin inside whole-stage codegen; no
+    Python in the row path."""
     m = mentions.select(
         F.col(mention_col).alias("__m"),
         _block_key(F.col(mention_col)).alias("__blk"),
@@ -128,8 +139,11 @@ def fuzzy_link(
         dictionary.select(
             F.col(surface_col).alias("__s"),
             F.col(canonical_col).alias("__iri"),
-            _block_key(F.col(surface_col)).alias("__blk"),
-        ).dropDuplicates(["__s"])
+        )
+        # deterministic pick when one surface maps to several IRIs
+        .groupBy("__s")
+        .agg(F.min("__iri").alias("__iri"))
+        .withColumn("__blk", _block_key(F.col("__s")))
     )
     cand = (
         m.join(d, "__blk")
@@ -139,15 +153,15 @@ def fuzzy_link(
         .withColumn("dist", F.levenshtein(F.lower("__m"), F.lower("__s")))
         .where(F.col("dist") <= max_dist)
     )
-    w = Window.partitionBy("__m").orderBy(
-        F.col("dist").asc(), F.col("__s").asc()
-    )
+    # best match as a partial-aggregated struct-min, NOT a window: a
+    # hot mention's candidates combine map-side instead of piling into
+    # one window partition (struct ordering = dist asc, surface asc)
     return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
+        cand.groupBy("__m")
+        .agg(F.min(F.struct("dist", "__s", "__iri")).alias("__best"))
         .select(
             F.col("__m").alias("mention"),
-            F.col("__iri").alias("canonical_iri"),
-            F.col("dist").cast("int").alias("dist"),
+            F.col("__best.__iri").alias("canonical_iri"),
+            F.col("__best.dist").cast("int").alias("dist"),
         )
     )

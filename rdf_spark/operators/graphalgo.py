@@ -57,13 +57,19 @@ def pagerank(
       plan does not replay rounds 1..k-1 (same pattern as
       dup_clusters, operators/dedup.py:286).
     """
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst")).distinct()
+    # checkpoint the deduplicated edge list once: every iteration's
+    # contribution join reads it, and without this each round's
+    # localCheckpoint job would re-run the distinct shuffle
+    e = (
+        edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+        .distinct()
+        .localCheckpoint()
+    )
     verts = (
         e.select(F.col("__src").alias("node"))
         .unionByName(e.select(F.col("__dst").alias("node")))
         .distinct()
     )
-    n_row = verts.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     outdeg = e.groupBy("__src").agg(F.count(F.lit(1)).cast("double").alias("__deg"))
     # dangling flag computed once: vertices with no out-edges
     verts = (
@@ -71,6 +77,12 @@ def pagerank(
         .select("node", "__deg", F.col("__deg").isNull().alias("__dangling"))
         .localCheckpoint()
     )
+    # N derived from the checkpointed vertex set (and itself
+    # checkpointed — one row) so per-round broadcasts of the constant
+    # never replay the vertex build
+    n_row = verts.agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    ).localCheckpoint()
     ranks = verts.crossJoin(broadcast(n_row)).select(
         "node", "__deg", "__dangling", (F.lit(1.0) / F.col("__n")).alias("rank")
     ).localCheckpoint()
@@ -129,6 +141,10 @@ def transitive_closure(
     skos:broader, rdfs:subClassOf, parent-org chains), where closures
     are near-linear; do not feed the whole KG's edge set.
     """
+    if on_unconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_unconverged must be 'raise' or 'warn', got {on_unconverged!r}"
+        )
     paths = edges.select(
         F.col(src).alias("src"), F.col(dst).alias("dst")
     ).distinct().localCheckpoint()

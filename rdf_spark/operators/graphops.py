@@ -66,7 +66,9 @@ def predicate_object_map(triples: DataFrame) -> DataFrame:
     )
 
 
-def bgp_match(triples: DataFrame, patterns) -> DataFrame:
+def bgp_match(
+    triples: DataFrame, patterns, path_max_rounds: int = 16
+) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching: conjunctive
     triple patterns with shared variables -> a bindings DataFrame
     (one column per variable).
@@ -82,7 +84,13 @@ def bgp_match(triples: DataFrame, patterns) -> DataFrame:
     set instead of a triple scan, so `` (?a, "<broader>+/<label>",
     ?l) `` composes closures with ordinary patterns through the same
     shared-variable equi-joins. A path pattern binds only its
-    endpoints (no predicate variable, no graph column).
+    endpoints (no predicate variable, no graph column);
+    ``path_max_rounds`` bounds the path's ``+``/``*`` closures (see
+    paths.eval_path). Caveat: a path pattern's relation is evaluated
+    over the WHOLE graph before constant-endpoint filters apply — a
+    closure anchored at one constant still computes the graph-wide
+    closure, so for single-seed reachability prefer khop_neighbors
+    (a seeded frontier expansion) over ``(const, "<p>+", ?x)``.
 
     Spark-first design (no reference counterpart — the reference stops
     at single-pattern Find/FindAll, graph.go:17-39): each pattern is a
@@ -98,10 +106,10 @@ def bgp_match(triples: DataFrame, patterns) -> DataFrame:
 
     def one(p):
         s, pr, o = p
-        if isinstance(pr, str) and pr[:1] in "<^!(" and not pr.startswith("?"):
+        if isinstance(pr, str) and pr[:1] in ("<", "^", "!", "("):
             from .paths import eval_path
 
-            pairs = eval_path(triples, pr)
+            pairs = eval_path(triples, pr, max_rounds=path_max_rounds)
             df = pairs
             cols = []
             seen = {}

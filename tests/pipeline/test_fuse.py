@@ -137,3 +137,25 @@ class TestFuzzyLink:
             for r in fuzzy_link(m, d).collect()
         }
         assert got == want
+
+    def test_duplicate_surface_is_deterministic_min_iri(self, spark):
+        d = spark.createDataFrame(
+            [("Georgia", "ex:us-state"), ("Georgia", "ex:country")],
+            "surface string, canonical_iri string",
+        )
+        m = spark.createDataFrame([("georgia",)], "mention string")
+        for _ in range(3):
+            got = fuzzy_link(m, d).collect()
+            assert [(r.canonical_iri, r.dist) for r in got] == [("ex:country", 0)]
+
+    def test_no_window_exchange_best_match_is_partial_agg(self, spark):
+        # the best-match reduction must partial-combine map-side: a
+        # window rank over the mention key would pile a hot mention's
+        # candidates into one partition
+        m = spark.createDataFrame([("Germany",)], "mention string")
+        d = spark.createDataFrame(
+            [("Germany", "ex:de")], "surface string, canonical_iri string"
+        )
+        plan = fuzzy_link(m, d)._jdf.queryExecution().executedPlan().toString()
+        assert "partial_min" in plan, plan
+        assert "Window" not in plan, plan

@@ -112,3 +112,10 @@ def test_bgp_path_pattern_repeated_endpoint_var(kg):
     got = [tuple(r) for r in
            bgp_match(kg, [("?x", f"<{E}knows>+", "?x")]).collect()]
     assert got == [(E + "loop",)]
+
+
+def test_bgp_empty_string_predicate_is_a_constant_not_a_path(kg):
+    # regression: '' must filter pred == '' (empty result), not be
+    # routed to the path parser
+    got = bgp_match(kg, [("?x", "", "?y")]).collect()
+    assert got == []

@@ -172,3 +172,9 @@ class TestDanglingRefs:
         )
         got = {(r.iri, r.n_refs) for r in dangling_refs(t).collect()}
         assert got == {("ghost", 2)}
+
+
+def test_transitive_closure_rejects_unknown_unconverged_mode(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="on_unconverged"):
+        transitive_closure(e, on_unconverged="Raise")
