@@ -436,6 +436,28 @@ def _containment_triples(spark, sf_dir):
     )
 
 
+def q_kg_components(spark, sf_dir):
+    """Undirected connected components of the customer/nation/region
+    affiliation graph — one component per region, labeled by the
+    minimum node IRI; oracle is a recursive undirected-reachability
+    CTE taking min(reach)."""
+    from rdf_spark.operators.graphalgo import connected_components
+
+    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey") % 16 == 0)
+    n = _read(spark, sf_dir, "nation")
+    e = (
+        c.select(
+            F.concat(F.lit(EX + "c"), F.col("c_custkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "n"), F.col("c_nationkey").cast("string")).alias("dst"),
+        )
+        .unionByName(n.select(
+            F.concat(F.lit(EX + "n"), F.col("n_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit(EX + "r"), F.col("n_regionkey").cast("string")).alias("dst"),
+        ))
+    )
+    return connected_components(e)
+
+
 def q_rdf_bgp_path(spark, sf_dir):
     """BGP with a property-path pattern: the `+` closure of `in`
     equi-joined with a plain memberOf pattern through the shared
@@ -1499,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_path_star": q_rdf_path_star,
         "rdf_bgp_path": q_rdf_bgp_path,
         "kg_profile": q_kg_profile,
+        "kg_components": q_kg_components,
         "rdf_salted_degree": q_rdf_salted_degree,
         "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
@@ -1898,6 +1921,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT s.src, m.dst
             FROM star s JOIN member m ON s.dst = m.src
+        """,
+        "kg_components": """
+            WITH RECURSIVE e AS (
+                SELECT 'http://ex/c' || c_custkey AS a,
+                       'http://ex/n' || c_nationkey AS b
+                FROM customer WHERE c_custkey % 16 = 0
+                UNION ALL
+                SELECT 'http://ex/n' || n_nationkey,
+                       'http://ex/r' || n_regionkey FROM nation
+            ), u AS (
+                SELECT a, b FROM e UNION SELECT b, a FROM e
+            ), r AS (
+                SELECT a AS node, a AS reach FROM u
+                UNION
+                SELECT r.node, u.b FROM r JOIN u ON r.reach = u.a
+            )
+            SELECT node, min(reach) AS component FROM r GROUP BY 1
         """,
         "rdf_bgp_path": """
             WITH inedges AS (

@@ -196,6 +196,37 @@ def graph_diff(
     return added.unionByName(removed)
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+    on_unconverged: str = "raise",
+) -> DataFrame:
+    """Undirected connected components over an edge list ->
+    ``(node, component)`` with component = the minimum node id
+    reachable (a canonical, deterministic component label).
+
+    Thin graph-flavored front for the dedup clusterer
+    (operators/dedup.py::dup_clusters — min-label propagation with
+    pointer doubling, O(log diameter) rounds, raises on
+    non-convergence): duplicate clustering IS connected components,
+    so the battle-tested kernel is shared rather than re-implemented.
+    Nodes with no edges don't appear (an isolated node's component is
+    trivially itself — union the vertex set if needed)."""
+    from .dedup import dup_clusters
+
+    pairs = edges.select(
+        F.col(src).alias("doc_a"), F.col(dst).alias("doc_b")
+    )
+    out = dup_clusters(
+        pairs, max_iters=max_iters, on_unconverged=on_unconverged
+    )
+    return out.select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("component")
+    )
+
+
 def apply_diff(
     base: DataFrame,
     diff: DataFrame,

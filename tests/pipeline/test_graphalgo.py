@@ -178,3 +178,23 @@ def test_transitive_closure_rejects_unknown_unconverged_mode(spark):
     e = _edges(spark, [("a", "b")])
     with pytest.raises(ValueError, match="on_unconverged"):
         transitive_closure(e, on_unconverged="Raise")
+
+
+class TestConnectedComponents:
+    def test_components_are_min_reachable_label(self, spark):
+        from rdf_spark.operators.graphalgo import connected_components
+
+        # two components: {a,b,c} (via chain) and {x,y}
+        e = _edges(spark, [("b", "a"), ("c", "b"), ("x", "y")])
+        got = {(r.node, r.component)
+               for r in connected_components(e).collect()}
+        assert got == {
+            ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")
+        }
+
+    def test_direction_is_ignored(self, spark):
+        from rdf_spark.operators.graphalgo import connected_components
+
+        fwd = connected_components(_edges(spark, [("a", "b"), ("b", "c")]))
+        rev = connected_components(_edges(spark, [("c", "b"), ("b", "a")]))
+        assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
