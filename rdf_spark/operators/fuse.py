@@ -98,6 +98,53 @@ def majority_vote(
     )
 
 
+def resolve_functional(
+    triples: DataFrame,
+    predicates: list[str],
+    strategy: str = "majority",
+    ts_col: str | None = None,
+    support_col: str | None = "support",
+) -> DataFrame:
+    """Pipeline-composable fusion: for the listed FUNCTIONAL
+    predicates (single-valued by schema intent — names, birth dates,
+    canonical URLs), keep exactly one object per subject; every other
+    predicate's triples pass through untouched (multi-valued
+    predicates like ex:knows are legitimately plural — fusing them
+    would be wrong, which is why this takes an explicit predicate
+    list rather than fusing everything).
+
+    Sits naturally after canonical dedupe (plans/pipeline.py
+    finish_triples): ``strategy="majority"`` weights by the
+    ``support`` column canonicalize emits (distinct-assertion counts)
+    when present; ``strategy="latest"`` needs ``ts_col``. The full
+    input row of each winning claim is preserved (winners are
+    semi-joined back), so the output schema equals the input schema —
+    downstream stages don't change. The unit of resolution is the
+    VALUE, not the physical row: on a per-bucket-canonicalized table
+    the winning claim may still appear as one row per bucket until
+    batch compaction merges them (operators/canonical.py) — losing
+    values' rows are dropped from every bucket either way."""
+    if strategy not in ("majority", "latest"):
+        raise ValueError(f"strategy must be 'majority' or 'latest', got {strategy!r}")
+    isin = F.col("pred").isin(*predicates)
+    contested = triples.where(isin)
+    keep = triples.where(~isin)
+    if strategy == "latest":
+        if ts_col is None:
+            raise ValueError("strategy='latest' requires ts_col")
+        winners = latest_values(contested, ts_col=ts_col).select(
+            "subj", "pred", "obj_lex"
+        )
+    else:
+        sup = support_col if support_col in contested.columns else None
+        winners = majority_vote(contested, support_col=sup).select(
+            "subj", "pred", "obj_lex"
+        )
+    return keep.unionByName(
+        contested.join(winners, ["subj", "pred", "obj_lex"], "left_semi")
+    )
+
+
 def _block_key(col):
     """Cheap blocking key: lowercased first character. Recall contract
     (documented, mirrored by the oracle): candidate pairs whose edit

@@ -159,3 +159,57 @@ class TestFuzzyLink:
         plan = fuzzy_link(m, d)._jdf.queryExecution().executedPlan().toString()
         assert "partial_min" in plan, plan
         assert "Window" not in plan, plan
+
+
+class TestResolveFunctional:
+    SCHEMA = "subj string, pred string, obj_lex string, support long"
+
+    def _kg(self, spark):
+        rows = [
+            # name is functional and contested: 'Alice' has support 3
+            ("s1", "name", "Alice", 3),
+            ("s1", "name", "alice", 1),
+            # knows is multi-valued and must pass through untouched
+            ("s1", "knows", "s2", 1),
+            ("s1", "knows", "s3", 1),
+            ("s2", "name", "Bob", 2),
+        ]
+        return spark.createDataFrame(rows, self.SCHEMA)
+
+    def test_majority_fuses_only_listed_predicates(self, spark):
+        from rdf_spark.operators.fuse import resolve_functional
+
+        got = resolve_functional(self._kg(spark), ["name"])
+        rows = {tuple(r) for r in got.collect()}
+        assert rows == {
+            ("s1", "name", "Alice", 3),
+            ("s1", "knows", "s2", 1),
+            ("s1", "knows", "s3", 1),
+            ("s2", "name", "Bob", 2),
+        }
+        # schema is preserved exactly
+        assert got.columns == ["subj", "pred", "obj_lex", "support"]
+
+    def test_latest_requires_ts_and_validates_strategy(self, spark):
+        from rdf_spark.operators.fuse import resolve_functional
+
+        kg = self._kg(spark)
+        with pytest.raises(ValueError, match="requires ts_col"):
+            resolve_functional(kg, ["name"], strategy="latest")
+        with pytest.raises(ValueError, match="strategy"):
+            resolve_functional(kg, ["name"], strategy="newest")
+
+    def test_latest_strategy_picks_most_recent_claim_row(self, spark):
+        from rdf_spark.operators.fuse import resolve_functional
+
+        rows = [
+            ("s1", "name", "Old", _ts(1)),
+            ("s1", "name", "New", _ts(8)),
+            ("s1", "knows", "s2", _ts(1)),
+        ]
+        kg = spark.createDataFrame(
+            rows, "subj string, pred string, obj_lex string, warc_ts timestamp"
+        )
+        got = {(r.subj, r.pred, r.obj_lex) for r in resolve_functional(
+            kg, ["name"], strategy="latest", ts_col="warc_ts").collect()}
+        assert got == {("s1", "name", "New"), ("s1", "knows", "s2")}
