@@ -564,6 +564,66 @@ def q_kg_dangling_refs(spark, sf_dir):
     return dangling_refs(t).select("iri", F.col("n_refs").cast("long").alias("n_refs"))
 
 
+def _nation_turtle_shaped(spark, sf_dir) -> DataFrame:
+    """Nation corpus seeded with deliberate schema defects for the
+    SHACL screen: every 5th name lowercased (pattern), a second name
+    when key%11==3 (maxCount), ex:key as a quoted string when key%3==0
+    (datatype) or as an IRI when key%13==0 (nodeKind + datatype),
+    ex:inRegion omitted when key%7==0 (minCount)."""
+    n = _read(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    ks = k.cast("string")
+    name = F.when(k % 5 == 0, F.lower(F.col("n_name"))).otherwise(F.col("n_name"))
+    name_part = F.concat(
+        F.lit('  ex:name "'), name, F.lit('"'),
+        F.when(
+            k % 11 == 3,
+            F.concat(F.lit(' , "'), F.col("n_name"), F.lit('_ALT"')),
+        ).otherwise(F.lit("")),
+        F.lit(" ;\n"),
+    )
+    key_part = (
+        F.when(k % 13 == 0, F.concat(F.lit("  ex:key ex:k"), ks, F.lit(" ;\n")))
+        .when(k % 3 == 0, F.concat(F.lit('  ex:key "'), ks, F.lit('" ;\n')))
+        .otherwise(F.concat(F.lit("  ex:key "), ks, F.lit(" ;\n")))
+    )
+    region_part = F.when(k % 7 == 0, F.lit("")).otherwise(
+        F.concat(F.lit("  ex:inRegion ex:r"),
+                 F.col("n_regionkey").cast("string"), F.lit(" ;\n"))
+    )
+    text = F.concat(
+        F.lit("@prefix ex: <http://ex/> .\n"),
+        F.lit("ex:n"), ks, F.lit(" a ex:Nation ;\n"),
+        name_part, key_part, region_part,
+        F.lit('  ex:crawled "2026" .\n'),
+    )
+    url = F.concat(F.lit("http://crawl.example/nation/"), ks)
+    return n.select(url.alias("url"), F.lit("turtle").alias("format"),
+                    text.alias("text"))
+
+
+def q_kg_shacl(spark, sf_dir):
+    """SHACL-lite shape validation (operators/shacl.py) over a parsed
+    nation KG seeded with deliberate defects; the oracle recomputes
+    the violation set directly from the seeding rules."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.operators.shacl import validate_shapes
+
+    t = good_triples(parse_pages(_nation_turtle_shaped(spark, sf_dir)))
+    shapes = [
+        {"shape_id": "NationName", "target_class": "http://ex/Nation",
+         "path": "http://ex/name", "min_count": 1, "max_count": 1,
+         "node_kind": "literal", "pattern": "^[A-Z][A-Z_0-9]*$"},
+        {"shape_id": "NationKey", "target_class": "http://ex/Nation",
+         "path": "http://ex/key", "node_kind": "literal",
+         "datatype": "http://www.w3.org/2001/XMLSchema#integer"},
+        {"shape_id": "NationRegion", "target_class": "http://ex/Nation",
+         "path": "http://ex/inRegion", "min_count": 1, "max_count": 1,
+         "node_kind": "iri"},
+    ]
+    return validate_shapes(t, shapes)
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -1437,7 +1497,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pipeline": q_kg_pipeline,
         "evt_sessions": q_evt_sessions,
         "evt_hourly": q_evt_hourly,
-        "tpch_q1_like": q_tpch_q1_like,
         "mm_features": q_mm_features,
         "mm_decode_resize": q_mm_decode_resize,
         "doc_simhash_pairs": q_doc_simhash_pairs,
@@ -1465,6 +1524,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_reachability": q_kg_reachability,
         "kg_graph_diff": q_kg_graph_diff,
         "kg_dangling_refs": q_kg_dangling_refs,
+        # round-4 SHACL-lite shape validation (construction-side QA);
+        # its head-50 slot comes from tpch_q1_like (green r1+r3,
+        # not a KG operator, still locally oracled in the tail)
+        "kg_shacl": q_kg_shacl,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1509,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_lsh_topk_probe2 / doc_remove_dup_spans /
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
+        "tpch_q1_like": q_tpch_q1_like,
         "rdf_parse_star": q_rdf_parse_star,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_xsd_validate": q_rdf_xsd_validate,
@@ -1990,6 +2054,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT iri, CAST(count(*) AS BIGINT) AS n_refs
             FROM refs GROUP BY 1
+        """,
+        # kg_shacl replays the defect-seeding rules of
+        # _nation_turtle_shaped directly (the Spark side goes through
+        # the real Turtle parser + validate_shapes); an IRI-valued key
+        # (k%13==0) violates BOTH nodeKind and datatype
+        "kg_shacl": """
+            WITH n AS (SELECT n_nationkey AS k, n_name AS name FROM nation)
+            SELECT 'NationName' AS shape_id, 'http://ex/n' || k AS focus,
+                   'pattern' AS "constraint", lower(name) AS value
+            FROM n WHERE k % 5 = 0
+            UNION ALL
+            SELECT 'NationName', 'http://ex/n' || k, 'maxCount', NULL
+            FROM n WHERE k % 11 = 3
+            UNION ALL
+            SELECT 'NationKey', 'http://ex/n' || k, 'datatype',
+                   CASE WHEN k % 13 = 0 THEN 'http://ex/k' || k
+                        ELSE CAST(k AS VARCHAR) END
+            FROM n WHERE k % 3 = 0 OR k % 13 = 0
+            UNION ALL
+            SELECT 'NationKey', 'http://ex/n' || k, 'nodeKind',
+                   'http://ex/k' || k
+            FROM n WHERE k % 13 = 0
+            UNION ALL
+            SELECT 'NationRegion', 'http://ex/n' || k, 'minCount', NULL
+            FROM n WHERE k % 7 = 0
         """,
         "rdf_group_by_graph": """
             SELECT 'http://ex/region/' || n_regionkey AS graph,
