@@ -624,6 +624,86 @@ def q_kg_shacl(spark, sf_dir):
     return validate_shapes(t, shapes)
 
 
+def _nation_ontology_pages(spark, sf_dir) -> DataFrame:
+    """The nation corpus plus ONE ontology page (subClassOf chain,
+    subPropertyOf, domain, range) — the rdfs_closure fixture."""
+    onto = spark.createDataFrame(
+        [(
+            "http://crawl.example/ontology",
+            "turtle",
+            "@prefix ex: <http://ex/> .\n"
+            "@prefix rdfs: <http://www.w3.org/2000/01/rdf-schema#> .\n"
+            "ex:Nation rdfs:subClassOf ex:Place .\n"
+            "ex:Place rdfs:subClassOf ex:Resource .\n"
+            "ex:inRegion rdfs:subPropertyOf ex:locatedIn .\n"
+            "ex:locatedIn rdfs:domain ex:Place .\n"
+            "ex:inRegion rdfs:range ex:Region .\n",
+        )],
+        "url string, format string, text string",
+    )
+    return _nation_turtle(spark, sf_dir).unionByName(onto)
+
+
+def q_kg_rdfs_infer(spark, sf_dir):
+    """RDFS (rho-df) forward-chaining materialization over the parsed
+    nation KG + a one-page ontology: rdfs2/3/7/9 instance rules in one
+    broadcast pass after pointer-doubling TBox closure (rdfs5/11);
+    oracle replays each rule's output from the generation rules."""
+    from rdf_spark.operators.infer import rdfs_closure
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    t = good_triples(parse_pages(_nation_ontology_pages(spark, sf_dir)))
+    return rdfs_closure(t).select("subj", "pred", "obj_lex")
+
+
+def q_kg_sameas_rewrite(spark, sf_dir):
+    """owl:sameAs smushing: three crawl sites describe the same
+    customers under different IRIs with sameAs links (a<-b<-c chains);
+    rewrite collapses every class to its minimum IRI and merges the
+    duplicated name triples. Oracle emits the merged graph directly."""
+    from rdf_spark.operators.infer import sameas_rewrite
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    c = _read(spark, sf_dir, "customer").where(F.col("c_custkey") % 16 == 0)
+    ks = F.col("c_custkey").cast("string")
+    site_a = c.select(
+        F.concat(F.lit("http://a.crawl.example/c/"), ks).alias("url"),
+        F.lit("turtle").alias("format"),
+        F.concat(
+            F.lit("@prefix ex: <http://ex/> .\n<http://a.ex/c"), ks,
+            F.lit("> a ex:Customer ;\n  ex:name \""), F.col("c_name"),
+            F.lit("\" ;\n  ex:inNation <http://ex/n"),
+            F.col("c_nationkey").cast("string"), F.lit("> .\n"),
+        ).alias("text"),
+    )
+    site_b = c.select(
+        F.concat(F.lit("http://b.crawl.example/c/"), ks).alias("url"),
+        F.lit("turtle").alias("format"),
+        F.concat(
+            F.lit("@prefix ex: <http://ex/> .\n"
+                  "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                  "<http://b.ex/c"), ks,
+            F.lit("> ex:name \""), F.col("c_name"),
+            F.lit("\" ;\n  owl:sameAs <http://a.ex/c"), ks, F.lit("> .\n"),
+        ).alias("text"),
+    )
+    site_c = c.where(F.col("c_custkey") % 32 == 0).select(
+        F.concat(F.lit("http://c.crawl.example/c/"), ks).alias("url"),
+        F.lit("turtle").alias("format"),
+        F.concat(
+            F.lit("@prefix ex: <http://ex/> .\n"
+                  "@prefix owl: <http://www.w3.org/2002/07/owl#> .\n"
+                  "<http://c.ex/c"), ks,
+            F.lit("> ex:vip true ;\n  owl:sameAs <http://b.ex/c"), ks,
+            F.lit("> .\n"),
+        ).alias("text"),
+    )
+    pages = site_a.unionByName(site_b).unionByName(site_c)
+    t = good_triples(parse_pages(pages))
+    return sameas_rewrite(t, broadcast_map=True).select(
+        "subj", "pred", "obj_lex")
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -1528,6 +1608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its head-50 slot comes from tpch_q1_like (green r1+r3,
         # not a KG operator, still locally oracled in the tail)
         "kg_shacl": q_kg_shacl,
+        # round-4 ontology reasoning (operators/infer.py): RDFS
+        # materialization + owl:sameAs smushing; their head-50 slots
+        # come from doc_quality and rdf_triple_pattern (triple-green
+        # r1+r2+r3, still locally oracled in the tail)
+        "kg_rdfs_infer": q_kg_rdfs_infer,
+        "kg_sameas_rewrite": q_kg_sameas_rewrite,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1539,7 +1625,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "web_page_metadata": q_web_page_metadata,
         # graph ops
-        "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_bgp_match": q_rdf_bgp_match,
         "rdf_khop": q_rdf_khop,
         "rdf_skolemize": q_rdf_skolemize,
@@ -1547,7 +1632,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         # training-data / curation
-        "doc_quality": q_doc_quality,
         "web_url_normalize": q_web_url_normalize,
         "doc_pii": q_doc_pii,
         "doc_stratified_sample": q_doc_stratified_sample,
@@ -1573,6 +1657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "tpch_q1_like": q_tpch_q1_like,
+        "doc_quality": q_doc_quality,
+        "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_parse_star": q_rdf_parse_star,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_xsd_validate": q_rdf_xsd_validate,
@@ -2054,6 +2140,65 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT iri, CAST(count(*) AS BIGINT) AS n_refs
             FROM refs GROUP BY 1
+        """,
+        # kg_rdfs_infer replays each RDFS rule's output from the
+        # corpus generation rules: asserted nation triples + 5 schema
+        # triples, rdfs11 (Nation<Resource), rdfs7 (locatedIn),
+        # rdfs2 via the derived predicate (type Place), rdfs3
+        # (regions typed), rdfs9 (type Place/Resource lift)
+        "kg_rdfs_infer": f"""
+            WITH n AS (SELECT n_nationkey AS k, n_name AS name,
+                              n_regionkey AS r FROM nation),
+                 rg AS (SELECT DISTINCT n_regionkey AS r FROM nation)
+            SELECT 'http://ex/n' || k AS subj, '{RDF_TYPE}' AS pred,
+                   'http://ex/Nation' AS obj_lex FROM n
+            UNION ALL SELECT 'http://ex/n' || k, 'http://ex/name', name FROM n
+            UNION ALL SELECT 'http://ex/n' || k, 'http://ex/inRegion',
+                             'http://ex/r' || r FROM n
+            UNION ALL SELECT 'http://ex/n' || k, 'http://ex/locatedIn',
+                             'http://ex/r' || r FROM n
+            UNION ALL SELECT 'http://ex/n' || k, '{RDF_TYPE}',
+                             'http://ex/Place' FROM n
+            UNION ALL SELECT 'http://ex/n' || k, '{RDF_TYPE}',
+                             'http://ex/Resource' FROM n
+            UNION ALL SELECT 'http://ex/r' || r, '{RDF_TYPE}',
+                             'http://ex/Region' FROM rg
+            UNION ALL SELECT * FROM (VALUES
+                ('http://ex/Nation',
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                 'http://ex/Place'),
+                ('http://ex/Place',
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                 'http://ex/Resource'),
+                ('http://ex/Nation',
+                 'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+                 'http://ex/Resource'),
+                ('http://ex/inRegion',
+                 'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+                 'http://ex/locatedIn'),
+                ('http://ex/locatedIn',
+                 'http://www.w3.org/2000/01/rdf-schema#domain',
+                 'http://ex/Place'),
+                ('http://ex/inRegion',
+                 'http://www.w3.org/2000/01/rdf-schema#range',
+                 'http://ex/Region')
+            ) AS t(subj, pred, obj_lex)
+        """,
+        # kg_sameas_rewrite: every class's representative is the
+        # a-site IRI (minimum of http://a.ex/ < http://b.ex/ <
+        # http://c.ex/); the duplicated name triples merge, sameAs
+        # rows drop, vip carries over from the c-site alias
+        "kg_sameas_rewrite": f"""
+            WITH c AS (SELECT c_custkey AS k, c_name AS name,
+                              c_nationkey AS n
+                       FROM customer WHERE c_custkey % 16 = 0)
+            SELECT 'http://a.ex/c' || k AS subj, '{RDF_TYPE}' AS pred,
+                   'http://ex/Customer' AS obj_lex FROM c
+            UNION ALL SELECT 'http://a.ex/c' || k, 'http://ex/name', name FROM c
+            UNION ALL SELECT 'http://a.ex/c' || k, 'http://ex/inNation',
+                             'http://ex/n' || n FROM c
+            UNION ALL SELECT 'http://a.ex/c' || k, 'http://ex/vip', 'true'
+            FROM c WHERE k % 32 = 0
         """,
         # kg_shacl replays the defect-seeding rules of
         # _nation_turtle_shaped directly (the Spark side goes through

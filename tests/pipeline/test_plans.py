@@ -255,3 +255,45 @@ def test_majority_vote_partial_aggregation(triples_parquet):
     plan = _plan(majority_vote(triples_parquet))
     assert "partial_count" in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_rdfs_closure_instance_side_broadcast_only(triples_parquet, spark):
+    """Every instance-rule join in rdfs_closure (rdfs2/3/7/9) must
+    broadcast the schema-sized side — at 10^12 instance triples a
+    single SortMergeJoin against the TBox shuffles the corpus. The
+    only exchange allowed on the instance path is the final
+    duplicate-collapsing aggregate."""
+    from rdf_spark.operators.infer import RDFS_SUBCLASS, rdfs_closure
+
+    tbox = spark.createDataFrame(
+        [(None, 0, "http://ex/T", RDFS_SUBCLASS, 0, "http://ex/U",
+          None, None, None, None)],
+        triples_parquet.schema,
+    )
+    plan = _plan(rdfs_closure(triples_parquet.unionByName(tbox)))
+    # rdfs7/2/3/9 each contribute at least one broadcast join; Spark
+    # duplicates the shared rdfs7 subtree across the union branches,
+    # so the count is >= 4 — the invariant is that NONE of them ever
+    # degrades to a shuffle join.
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_sameas_rewrite_broadcast_map_no_shuffle_joins(triples_parquet, spark):
+    """With broadcast_map=True both alias-map rewrites (subj, obj)
+    must be broadcast joins: the instance side stays map-only until
+    the merged-duplicate distinct."""
+    from rdf_spark.operators.infer import OWL_SAMEAS, sameas_rewrite
+
+    sa = spark.createDataFrame(
+        [(None, 0, "http://ex/s2", OWL_SAMEAS, 0, "http://ex/s1",
+          None, None, None, None)],
+        triples_parquet.schema,
+    )
+    plan = _plan(sameas_rewrite(triples_parquet.unionByName(sa),
+                                broadcast_map=True))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
