@@ -90,18 +90,35 @@ def rdfs_closure(
       derived triple keeps the original object metadata
       (datatype/lang), since only the predicate changed;
     - rdfs2: ``(s p o), (p domain c) -> (s rdf:type c)``, with domain
-      looked up through the subPropertyOf closure (the rdfs7 output
-      feeds it);
+      looked up through the subPropertyOf closure (rdfs7 feeds it);
     - rdfs3: ``(s p o), (p range c), o not a literal ->
       (o rdf:type c)``;
     - rdfs9: ``(s rdf:type c), (c subClassOf+ d) -> (s rdf:type d)``,
-      applied to asserted AND rule-derived type triples.
+      applied to asserted AND domain/range-derived type triples.
 
-    One instance pass: every join broadcasts a schema-sized frame
-    (closed subPropertyOf pairs, closed subClassOf pairs, domain and
-    range maps), so the instance side is map-only until the final
-    ``distinct`` — the one shuffle, and it is keyed on the full triple
-    (no skew hot-spot beyond genuine duplicate triples).
+    SINGLE instance pass: the rule consequents are pre-folded into
+    four schema-sized lookup maps —
+
+    - ``pred -> [superproperties]``            (rdfs7)
+    - ``pred -> [type classes via domain]``    (rdfs2 ∘ rdfs7 ∘ rdfs9:
+      domains of the predicate AND its superproperties, each already
+      lifted through the subClassOf closure)
+    - ``pred -> [type classes via range]``     (rdfs3, same folding)
+    - ``class -> [superclasses]``              (rdfs9 on asserted types)
+
+    — so the instance table is scanned ONCE, left-broadcast-joined
+    against the four maps, and every derived triple comes out of one
+    ``explode`` over the concatenated consequent arrays.  The only
+    wide exchange on the instance path is the final
+    duplicate-collapsing ``distinct``, keyed on the full triple (no
+    skew hot-spot beyond genuine duplicate triples).  At 10^12
+    instance triples the alternative — a union of per-rule branches —
+    re-scans the corpus once per rule; this form does not.
+
+    Out of scope (documented, standard for rho-df materializers):
+    axiomatic triples (rdfs4a/4b, container membership), literal
+    generalization, and schema entailed *by* instance joins (e.g. a
+    property declared ``subPropertyOf rdf:type``).
 
     Returns the 7-column triple core, deduplicated. With
     ``include_asserted=False`` only the DERIVED triples (closure minus
@@ -110,32 +127,129 @@ def rdfs_closure(
     """
     inst = _core(triples)
 
-    is_iri = F.col("obj_kind") == KIND_IRI
-    prop_edges = inst.where((F.col("pred") == RDFS_SUBPROP) & is_iri).select(
+    # Extract the TBox in ONE filtered, column-pruned pass and pin it
+    # with an eager localCheckpoint: every downstream schema frame
+    # (edges, closures, refl sets, the four maps) derives from this
+    # schema-sized cache instead of re-scanning the corpus per rule.
+    tbox = (
+        inst.where(
+            F.col("pred").isin(RDFS_SUBPROP, RDFS_SUBCLASS,
+                               RDFS_DOMAIN, RDFS_RANGE)
+            & (F.col("obj_kind") == KIND_IRI))
+        .select("subj", "pred", "obj_lex")
+        .localCheckpoint(eager=True)
+    )
+    prop_edges = tbox.where(F.col("pred") == RDFS_SUBPROP).select(
         F.col("subj").alias("src"), F.col("obj_lex").alias("dst")
     )
-    cls_edges = inst.where((F.col("pred") == RDFS_SUBCLASS) & is_iri).select(
+    cls_edges = tbox.where(F.col("pred") == RDFS_SUBCLASS).select(
         F.col("subj").alias("src"), F.col("obj_lex").alias("dst")
     )
     prop_pairs = _closure_pairs(prop_edges, max_schema_rounds)
     cls_pairs = _closure_pairs(cls_edges, max_schema_rounds)
-    dom = inst.where((F.col("pred") == RDFS_DOMAIN) & is_iri).select(
+    dom = tbox.where(F.col("pred") == RDFS_DOMAIN).select(
         F.col("subj").alias("__p"), F.col("obj_lex").alias("__cls")
     ).distinct()
-    rng = inst.where((F.col("pred") == RDFS_RANGE) & is_iri).select(
+    rng = tbox.where(F.col("pred") == RDFS_RANGE).select(
         F.col("subj").alias("__p"), F.col("obj_lex").alias("__cls")
     ).distinct()
 
-    def type_triple(subj_kind, subj, cls):
-        return (
-            subj_kind.alias("subj_kind"), subj.alias("subj"),
-            F.lit(RDF_TYPE).alias("pred"),
-            F.lit(KIND_IRI).cast("tinyint").alias("obj_kind"),
-            cls.alias("obj_lex"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-            F.lit(None).cast("string").alias("obj_lang"),
+    # ---- fold the rule graph into schema-sized maps (all tiny) ----
+    # reflexive subProp pairs: {p} ∪ sp+(p) for every p with a domain/
+    # range/superproperty — lets one join cover "p or any superprop"
+    sp_refl = prop_pairs.unionByName(
+        prop_pairs.select("src").union(dom.select(F.col("__p")))
+        .union(rng.select(F.col("__p"))).distinct()
+        .select(F.col("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sc_refl = cls_pairs.unionByName(
+        cls_pairs.select("src").union(dom.select(F.col("__cls")))
+        .union(rng.select(F.col("__cls"))).distinct()
+        .select(F.col("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+    def _pred_type_map(pc, alias):
+        """pred -> [classes]: (p sp* q), (q dom/rng c), (c sc* d) -> d."""
+        lifted = (
+            sp_refl.join(F.broadcast(pc), sp_refl["dst"] == pc["__p"])
+            .select(F.col("src").alias("__pred"), F.col("__cls"))
+            .join(F.broadcast(sc_refl), F.col("__cls") == sc_refl["src"])
+            .select("__pred", sc_refl["dst"].alias("__cls2"))
+            .distinct()
+        )
+        return lifted.groupBy("__pred").agg(
+            F.collect_list("__cls2").alias(alias))
+
+    sp_map = prop_pairs.groupBy("src").agg(
+        F.collect_list("dst").alias("__sups")
+    ).withColumnRenamed("src", "__sp_p")
+    dom_map = _pred_type_map(dom, "__dom_types").withColumnRenamed(
+        "__pred", "__dom_p")
+    rng_map = _pred_type_map(rng, "__rng_types").withColumnRenamed(
+        "__pred", "__rng_p")
+    sc_map = cls_pairs.groupBy("src").agg(
+        F.collect_list("dst").alias("__sup_cls")
+    ).withColumnRenamed("src", "__sc_c")
+
+    # ---- ONE pass over the instance table -------------------------
+    empty_s = F.array().cast("array<string>")
+    joined = (
+        inst
+        .join(F.broadcast(sp_map), inst["pred"] == F.col("__sp_p"), "left")
+        .join(F.broadcast(dom_map), inst["pred"] == F.col("__dom_p"), "left")
+        .join(F.broadcast(rng_map), inst["pred"] == F.col("__rng_p"), "left")
+        .join(F.broadcast(sc_map),
+              (inst["pred"] == RDF_TYPE) & (inst["obj_lex"] == F.col("__sc_c")),
+              "left")
+    )
+
+    def mk(subj_kind, subj, pred, obj_kind, obj_lex, dt, lang):
+        return F.struct(
+            subj_kind.cast("tinyint").alias("subj_kind"),
+            subj.alias("subj"), pred.alias("pred"),
+            obj_kind.cast("tinyint").alias("obj_kind"),
+            obj_lex.alias("obj_lex"), dt.alias("obj_datatype"),
+            lang.alias("obj_lang"),
         )
 
+    k = F.col("subj_kind")
+    iri = F.lit(KIND_IRI)
+    null_s = F.lit(None).cast("string")
+    self_row = F.array(mk(k, F.col("subj"), F.col("pred"), F.col("obj_kind"),
+                          F.col("obj_lex"), F.col("obj_datatype"),
+                          F.col("obj_lang")))
+    sup_rows = F.transform(
+        F.coalesce(F.col("__sups"), empty_s),
+        lambda q: mk(k, F.col("subj"), q, F.col("obj_kind"),
+                     F.col("obj_lex"), F.col("obj_datatype"),
+                     F.col("obj_lang")))
+    dom_rows = F.transform(
+        F.coalesce(F.col("__dom_types"), empty_s),
+        lambda c: mk(k, F.col("subj"), F.lit(RDF_TYPE), iri, c,
+                     null_s, null_s))
+    rng_rows = F.when(
+        F.col("obj_kind") == KIND_LITERAL, F.array().cast(
+            "array<struct<subj_kind:tinyint,subj:string,pred:string,"
+            "obj_kind:tinyint,obj_lex:string,obj_datatype:string,"
+            "obj_lang:string>>")
+    ).otherwise(F.transform(
+        F.coalesce(F.col("__rng_types"), empty_s),
+        lambda c: mk(F.col("obj_kind"), F.col("obj_lex"), F.lit(RDF_TYPE),
+                     iri, c, null_s, null_s)))
+    sc_rows = F.transform(
+        F.coalesce(F.col("__sup_cls"), empty_s),
+        lambda d: mk(k, F.col("subj"), F.lit(RDF_TYPE), iri, d,
+                     null_s, null_s))
+
+    consequents = F.concat(sup_rows, dom_rows, rng_rows, sc_rows)
+    if include_asserted:
+        consequents = F.concat(self_row, consequents)
+    exploded = (
+        joined.select(F.explode(consequents).alias("t"))
+        .select([F.col(f"t.{c}").alias(c) for c in _CORE])
+    )
+
+    # rdfs5/11: the closed TBox pairs ARE derived schema triples
     def schema_triple(pairs, pred_iri):
         return pairs.select(
             F.lit(KIND_IRI).cast("tinyint").alias("subj_kind"),
@@ -147,57 +261,13 @@ def rdfs_closure(
             F.lit(None).cast("string").alias("obj_lang"),
         )
 
-    # rdfs5/11: the closed TBox pairs ARE derived schema triples
     tbox_derived = schema_triple(prop_pairs, RDFS_SUBPROP).unionByName(
         schema_triple(cls_pairs, RDFS_SUBCLASS)
     )
 
-    # rdfs7: predicate rewrite through the closed subPropertyOf pairs
-    derived_props = (
-        inst.join(F.broadcast(prop_pairs), inst["pred"] == prop_pairs["src"])
-        .select(
-            "subj_kind", "subj", F.col("dst").alias("pred"),
-            "obj_kind", "obj_lex", "obj_datatype", "obj_lang",
-        )
-    )
-    all_props = inst.unionByName(derived_props)
-
-    # rdfs2/rdfs3 over asserted + rdfs7-derived predicates
-    types_dom = (
-        all_props.join(F.broadcast(dom), all_props["pred"] == dom["__p"])
-        .select(*type_triple(F.col("subj_kind"), F.col("subj"),
-                             F.col("__cls")))
-    )
-    types_rng = (
-        all_props.where(F.col("obj_kind") != KIND_LITERAL)
-        .join(F.broadcast(rng), all_props["pred"] == rng["__p"])
-        .select(*type_triple(F.col("obj_kind"), F.col("obj_lex"),
-                             F.col("__cls")))
-    )
-    all_types = (
-        inst.where(F.col("pred") == RDF_TYPE)
-        .select(*_CORE)
-        .unionByName(types_dom)
-        .unionByName(types_rng)
-    )
-
-    # rdfs9: lift every type triple through the closed subClassOf pairs
-    derived_types = (
-        all_types.join(F.broadcast(cls_pairs),
-                       all_types["obj_lex"] == cls_pairs["src"])
-        .select(*type_triple(F.col("subj_kind"), F.col("subj"),
-                             F.col("dst")))
-    )
-
-    derived = (
-        tbox_derived
-        .unionByName(derived_props)
-        .unionByName(types_dom)
-        .unionByName(types_rng)
-        .unionByName(derived_types)
-    )
+    out = exploded.unionByName(tbox_derived)
     if include_asserted:
-        return inst.unionByName(derived).distinct()
+        return out.distinct()
     # the delta excludes anything already asserted; null-safe equality
     # because the metadata columns (datatype/lang) are usually NULL
     asserted = inst.alias("a")
@@ -205,7 +275,7 @@ def rdfs_closure(
     for c in _CORE:
         eq = F.col(f"d.{c}").eqNullSafe(F.col(f"a.{c}"))
         cond = eq if cond is None else cond & eq
-    return derived.alias("d").join(asserted, cond, "left_anti").distinct()
+    return out.alias("d").join(asserted, cond, "left_anti").distinct()
 
 
 def sameas_components(triples: DataFrame, max_iters: int = 25) -> DataFrame:

@@ -271,11 +271,16 @@ def test_rdfs_closure_instance_side_broadcast_only(triples_parquet, spark):
         triples_parquet.schema,
     )
     plan = _plan(rdfs_closure(triples_parquet.unionByName(tbox)))
-    # rdfs7/2/3/9 each contribute at least one broadcast join; Spark
-    # duplicates the shared rdfs7 subtree across the union branches,
-    # so the count is >= 4 — the invariant is that NONE of them ever
-    # degrades to a shuffle join.
-    assert plan.count("BroadcastHashJoin") >= 4, plan
+    # single-pass form: four broadcast LEFT joins (the superprop /
+    # domain-type / range-type / superclass maps) on ONE scan of the
+    # instance table; the remaining broadcast joins build the
+    # schema-sized maps themselves (schema x schema).
+    assert plan.count("LeftOuter, BuildRight") == 4, plan
+    # the instance relation (parquet scan) is read exactly once — a
+    # union-of-rule-branches plan rescans the corpus per rule; the
+    # TBox extraction pass is pinned by an eager localCheckpoint and
+    # so never shows as a parquet scan here.
+    assert plan.count("Scan parquet") == 1, plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
