@@ -79,6 +79,7 @@ def rdfs_closure(
     triples: DataFrame,
     include_asserted: bool = True,
     max_schema_rounds: int = 16,
+    tbox: DataFrame | None = None,
 ) -> DataFrame:
     """Materialize the RDFS (rho-df) closure of a triple table.
 
@@ -124,6 +125,16 @@ def rdfs_closure(
     ``include_asserted=False`` only the DERIVED triples (closure minus
     the asserted input) are returned — the Iceberg-friendly delta to
     append next to the raw layer.
+
+    Incremental maintenance: because the rule maps depend only on the
+    TBox, the closure of ``old ∪ delta`` under a FIXED schema is
+    ``closure(old) ∪ closure(delta, tbox=schema)`` — pass the already-
+    known schema triples via ``tbox`` and feed ONLY the new batch as
+    ``triples``; the closure increment never rescans old data.  (If
+    the delta itself changes the schema, recompute from scratch — a
+    new subClassOf edge can entail types for *old* instances.)  When
+    ``tbox`` is given, schema statements inside ``triples`` are
+    deliberately NOT merged into the rule maps.
     """
     inst = _core(triples)
 
@@ -132,7 +143,7 @@ def rdfs_closure(
     # (edges, closures, refl sets, the four maps) derives from this
     # schema-sized cache instead of re-scanning the corpus per rule.
     tbox = (
-        inst.where(
+        (_core(tbox) if tbox is not None else inst).where(
             F.col("pred").isin(RDFS_SUBPROP, RDFS_SUBCLASS,
                                RDFS_DOMAIN, RDFS_RANGE)
             & (F.col("obj_kind") == KIND_IRI))

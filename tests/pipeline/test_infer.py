@@ -95,6 +95,40 @@ def test_no_schema_is_identity(spark):
     assert spo(rdfs_closure(plain)) == {(E + "a", E + "p", E + "b")}
 
 
+def test_incremental_closure_equals_full(spark, ontology):
+    """Under a fixed schema, closure(old ∪ delta) ==
+    closure(old) ∪ closure(delta, tbox=schema): the increment is a
+    single map-apply over the new batch, never rescanning old data."""
+    delta = df(spark, [
+        (E + "bob", E + "hasPet", KIND_IRI, E + "miu"),
+        (E + "miu", RDF_TYPE, KIND_IRI, E + "Dog"),
+    ])
+    full = spo(rdfs_closure(ontology.unionByName(delta)))
+    incr = spo(rdfs_closure(ontology)) | spo(
+        rdfs_closure(delta, tbox=ontology))
+    assert incr == full
+    # the rdfs7/2/3/9 consequents really fired on the delta batch
+    inc_only = spo(rdfs_closure(delta, tbox=ontology))
+    assert (E + "bob", E + "knows", E + "miu") in inc_only
+    assert (E + "bob", RDF_TYPE, E + "Person") in inc_only
+    assert (E + "miu", RDF_TYPE, E + "Animal") in inc_only
+    assert (E + "miu", RDF_TYPE, E + "Mammal") in inc_only
+
+
+def test_explicit_tbox_ignores_inline_schema(spark):
+    """When tbox= is given, schema statements inside the batch do NOT
+    extend the rule maps (a delta that edits schema needs a full
+    recompute — documented contract)."""
+    batch = df(spark, [
+        (E + "New", RDFS_SUBCLASS, KIND_IRI, E + "Thing"),
+        (E + "x", RDF_TYPE, KIND_IRI, E + "New"),
+    ])
+    empty_tbox = df(spark, [])
+    got = spo(rdfs_closure(batch, tbox=empty_tbox))
+    assert (E + "x", RDF_TYPE, E + "Thing") not in got
+    assert got == spo(batch)
+
+
 @pytest.fixture(scope="module")
 def aliased(spark):
     return df(spark, [
