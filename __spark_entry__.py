@@ -704,6 +704,38 @@ def q_kg_sameas_rewrite(spark, sf_dir):
         "subj", "pred", "obj_lex")
 
 
+def q_kg_sparql_select(spark, sf_dir):
+    """SPARQL SELECT front-end over the parsed nation KG: BGP with
+    predicate lists, OPTIONAL region labels (only even regions have
+    label pages -> real null rows), numeric-vs-lexical FILTER, and a
+    string function — all compiled onto bgp_match + left join +
+    Column filters (operators/sparql.py). Oracle replays the same
+    query as relational SQL over nation/region."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.operators.sparql import sparql_select
+
+    r = _read(spark, sf_dir, "region").where(F.col("r_regionkey") % 2 == 0)
+    label_pages = r.select(
+        F.concat(F.lit("http://crawl.example/region/"),
+                 F.col("r_regionkey").cast("string")).alias("url"),
+        F.lit("turtle").alias("format"),
+        F.concat(
+            F.lit("@prefix ex: <http://ex/> .\nex:r"),
+            F.col("r_regionkey").cast("string"),
+            F.lit(' ex:label "'), F.col("r_name"), F.lit('" .\n'),
+        ).alias("text"),
+    )
+    pages = _nation_turtle(spark, sf_dir).unionByName(label_pages)
+    t = good_triples(parse_pages(pages))
+    return sparql_select(t, """
+        PREFIX ex: <http://ex/>
+        SELECT ?n ?name ?r ?rlabel WHERE {
+          ?n a ex:Nation ; ex:name ?name ; ex:inRegion ?r .
+          OPTIONAL { ?r ex:label ?rlabel }
+          FILTER (CONTAINS(?name, "A") || STRLEN(?name) <= 6)
+        }""")
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -1614,6 +1646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1+r2+r3, still locally oracled in the tail)
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
+        # round-4 SPARQL SELECT front-end (operators/sparql.py); its
+        # head-50 slot comes from emb_ivf_topk (green r3, tail below)
+        "kg_sparql_select": q_kg_sparql_select,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1645,7 +1680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
         "emb_topk_cosine": q_emb_topk_cosine,
-        "emb_ivf_topk": q_emb_ivf_topk,
         # --- 50-entry driver cap ends here; tail entries below are
         # redundant with earlier rows, rows-only, or double-green in
         # r02+r03 driver records (rotated out in round 4:
@@ -1657,6 +1691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "tpch_q1_like": q_tpch_q1_like,
+        "emb_ivf_topk": q_emb_ivf_topk,
         "doc_quality": q_doc_quality,
         "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_parse_star": q_rdf_parse_star,
@@ -2199,6 +2234,17 @@ def oracle_sql() -> dict[str, str]:
                              'http://ex/n' || n FROM c
             UNION ALL SELECT 'http://a.ex/c' || k, 'http://ex/vip', 'true'
             FROM c WHERE k % 32 = 0
+        """,
+        # kg_sparql_select: the SPARQL query is relational over the
+        # generation rules — BGP = nation row, OPTIONAL label = left
+        # join to even-keyed regions, FILTER mirrored exactly
+        "kg_sparql_select": """
+            SELECT 'http://ex/n' || n_nationkey AS n,
+                   n_name AS name,
+                   'http://ex/r' || n_regionkey AS r,
+                   CASE WHEN n_regionkey % 2 = 0 THEN r_name END AS rlabel
+            FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
+            WHERE contains(n_name, 'A') OR length(n_name) <= 6
         """,
         # kg_shacl replays the defect-seeding rules of
         # _nation_turtle_shaped directly (the Spark side goes through

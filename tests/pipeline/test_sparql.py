@@ -1,0 +1,158 @@
+"""SPARQL SELECT front-end (operators/sparql.py): each clause of the
+subset against hand-computed bindings over a small program-built
+graph, plus syntax-error contracts and the no-cross-join guards."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_spark.operators.sparql import (
+    RDF_TYPE, SparqlSyntaxError, sparql_select,
+)
+from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+SCHEMA = "subj string, pred string, obj_kind tinyint, obj_lex string"
+E = "http://ex/"
+
+
+@pytest.fixture(scope="module")
+def g(spark):
+    rows = [
+        (E + "alice", RDF_TYPE, KIND_IRI, E + "Person"),
+        (E + "alice", E + "name", KIND_LITERAL, "Alice"),
+        (E + "alice", E + "age", KIND_LITERAL, "9"),
+        (E + "alice", E + "knows", KIND_IRI, E + "bob"),
+        (E + "bob", RDF_TYPE, KIND_IRI, E + "Person"),
+        (E + "bob", E + "name", KIND_LITERAL, "Bob"),
+        (E + "bob", E + "age", KIND_LITERAL, "40"),
+        (E + "bob", E + "knows", KIND_IRI, E + "carol"),
+        (E + "carol", RDF_TYPE, KIND_IRI, E + "Person"),
+        (E + "carol", E + "name", KIND_LITERAL, "carol lower"),
+        # carol has no age, no knows -> OPTIONAL null side
+        (E + "dog", RDF_TYPE, KIND_IRI, E + "Animal"),
+        (E + "dog", E + "name", KIND_LITERAL, "Rex"),
+    ]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+PFX = f"PREFIX ex: <{E}>\n"
+
+
+def test_bgp_and_prefix_and_a(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n . }"""))
+    assert got == {("Alice",), ("Bob",), ("carol lower",)}
+
+
+def test_predicate_object_lists_and_filter_numeric(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p ?n WHERE {
+          ?p a ex:Person ; ex:name ?n ; ex:age ?a .
+          FILTER (?a > 10)
+        }"""))
+    # lexical "9" vs "40": numeric comparison must pick 40, not
+    # string order (where "9" > "40")
+    assert got == {(E + "bob", "Bob")}
+
+
+def test_filter_string_functions(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE {
+          ?p ex:name ?n .
+          FILTER (REGEX(?n, "^CAROL", "i") || STRSTARTS(?n, "Al"))
+        }"""))
+    assert got == {("Alice",), ("carol lower",)}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n .
+          FILTER (CONTAINS(UCASE(?n), "RE") && STRLEN(?n) = 3) }"""))
+    assert got == {("Rex",)}
+
+
+def test_optional_and_bound(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?a WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          OPTIONAL { ?p ex:age ?a }
+        }"""))
+    assert got == {("Alice", "9"), ("Bob", "40"), ("carol lower", None)}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          OPTIONAL { ?p ex:age ?a }
+          FILTER (!BOUND(?a))
+        }"""))
+    assert got == {("carol lower",)}
+
+
+def test_property_path_in_pattern(g):
+    # knows+ from alice: bob and carol (via path passthrough)
+    got = rows(sparql_select(g, PFX + """
+        SELECT DISTINCT ?n WHERE {
+          <http://ex/alice> ex:knows+ ?q . ?q ex:name ?n .
+        }"""))
+    assert got == {("Bob",), ("carol lower",)}
+    # inverse + sequence
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ^ex:knows/ex:name ?n .
+                          ?p ex:name "Bob" . }"""))
+    assert got == {("Alice",)}
+
+
+def test_order_limit_offset_distinct(g):
+    q = PFX + """
+        SELECT ?n WHERE { ?p a ex:Person . ?p ex:name ?n . }
+        ORDER BY DESC(?n) LIMIT 2"""
+    assert [r.n for r in sparql_select(g, q).collect()] == \
+        ["carol lower", "Bob"]
+    q = PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n . }
+        ORDER BY ?n LIMIT 2 OFFSET 1"""
+    assert [r.n for r in sparql_select(g, q).collect()] == ["Bob", "Rex"]
+    # DISTINCT collapses the two Person-typed matches of one name
+    q = PFX + """
+        SELECT DISTINCT ?t WHERE { ?p a ?t . }"""
+    assert rows(sparql_select(g, q)) == {(E + "Person",), (E + "Animal",)}
+
+
+def test_select_star_keeps_first_seen_order(g):
+    df = sparql_select(g, PFX + """
+        SELECT * WHERE { ?p ex:knows ?q . ?q ex:name ?n . }""")
+    assert df.columns == ["p", "q", "n"]
+
+
+def test_syntax_errors(g):
+    for bad, why in [
+        ("SELECT ?x WHERE { }", "empty group"),
+        (PFX + "SELECT ?x WHERE { ?a ex:p ?b . ?c ex:p ?d . }",
+         "disconnected BGP"),
+        (PFX + "SELECT ?x WHERE { ?a ex:p ?b . OPTIONAL { ?c ex:q ?d } }",
+         "disconnected OPTIONAL"),
+        (PFX + "SELECT ?z WHERE { ?a ex:p ?b . }", "unbound select var"),
+        ("SELECT ?x WHERE { ?x foo:p ?y . }", "undeclared prefix"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } GARBAGE", "trailing"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . UNION { ?x ex:q ?y } }",
+         "UNION out of subset"),
+    ]:
+        with pytest.raises((SparqlSyntaxError, ValueError)):
+            sparql_select(g, bad).collect(), why
+
+
+def test_plan_is_relational(g, tmp_path):
+    # written-to-parquet graph: constant filters must push into the
+    # scan, joins must be equi-joins, no cartesian anywhere
+    p = str(tmp_path / "g.parquet")
+    g.write.parquet(p)
+    gp = g.sparkSession.read.parquet(p)
+    df = sparql_select(gp, PFX + """
+        SELECT ?n ?a WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          OPTIONAL { ?p ex:age ?a }
+          FILTER (STRSTARTS(?n, "A"))
+        }""")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "PushedFilters: [IsNotNull(pred)" in plan or \
+        "PushedFilters: [" in plan
