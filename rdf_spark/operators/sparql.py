@@ -330,30 +330,53 @@ class _Parser:
 
     # -- WHERE group --------------------------------------------------
     def group(self):
-        """-> (patterns, filters, optionals); optionals are nested
-        (patterns, filters) pairs."""
+        """-> dict(patterns, filters, optionals, unions, values).
+
+        ``optionals`` holds nested group dicts; ``unions`` a list of
+        group-dict alternatives (``{A} UNION {B} ...``); ``values``
+        ``(var_names, rows)`` inline-binding tables."""
         self.expect_punct("{")
-        patterns, filters, optionals = [], [], []
+        g = {"patterns": [], "filters": [], "optionals": [],
+             "unions": [], "values": []}
         while True:
             kind, val = self.peek()
             if (kind, val) == ("PUNCT", "}"):
                 self.take()
-                return patterns, filters, optionals
+                return g
+            if (kind, val) == ("PUNCT", "{"):
+                # { A } UNION { B } [UNION { C } ...]
+                alts = [self.group()]
+                while self.kw("UNION"):
+                    alts.append(self.group())
+                if len(alts) < 2:
+                    raise SparqlSyntaxError(
+                        "bare nested group (only UNION alternatives "
+                        "are supported)")
+                if g["unions"]:
+                    raise SparqlSyntaxError(
+                        "one UNION block per group in this subset")
+                g["unions"] = alts
+                continue
             if kind == "KW" and val.upper() == "FILTER":
                 self.take()
                 self.expect_punct("(")
-                filters.append(self._or_expr())
+                g["filters"].append(self._or_expr())
                 self.expect_punct(")")
                 continue
             if kind == "KW" and val.upper() == "OPTIONAL":
                 self.take()
-                p, f, o = self.group()
-                if o:
-                    raise SparqlSyntaxError("nested OPTIONAL unsupported")
-                optionals.append((p, f))
+                inner = self.group()
+                if inner["optionals"] or inner["unions"]:
+                    raise SparqlSyntaxError(
+                        "nested OPTIONAL/UNION inside OPTIONAL unsupported")
+                g["optionals"].append(inner)
+                continue
+            if kind == "KW" and val.upper() == "VALUES":
+                self.take()
+                g["values"].append(self._values_block())
                 continue
             if kind == "KW" and val.upper() in (
-                    "UNION", "GRAPH", "MINUS", "VALUES", "BIND", "SERVICE"):
+                    "GRAPH", "MINUS", "BIND", "SERVICE"):
                 raise SparqlSyntaxError(f"{val.upper()} not in subset")
             # triple block: subject (pred obj (, obj)* (; pred obj...)*) .
             subj = self.term()
@@ -361,7 +384,7 @@ class _Parser:
                 pred = self.predicate()
                 while True:
                     obj = self.term()
-                    patterns.append((subj, pred, obj))
+                    g["patterns"].append((subj, pred, obj))
                     if self.peek() == ("PUNCT", ","):
                         self.take()
                         continue
@@ -374,6 +397,45 @@ class _Parser:
                 break
             if self.peek() == ("PUNCT", "."):
                 self.take()
+
+    def _values_block(self):
+        """VALUES ?x { v... } | VALUES (?x ?y) { (v v) ... } ->
+        (var_names, rows); UNDEF -> None."""
+        def one_value():
+            kind, val = self.peek()
+            if kind == "KW" and val.upper() == "UNDEF":
+                self.take()
+                return None
+            return self.term()
+
+        if self.peek()[0] == "VAR":
+            names = [self.take()[1][1:]]
+            self.expect_punct("{")
+            rows = []
+            while self.peek() != ("PUNCT", "}"):
+                rows.append((one_value(),))
+            self.take()
+            return names, rows
+        self.expect_punct("(")
+        names = []
+        while self.peek()[0] == "VAR":
+            names.append(self.take()[1][1:])
+        self.expect_punct(")")
+        if not names:
+            raise SparqlSyntaxError("VALUES needs variables")
+        self.expect_punct("{")
+        rows = []
+        while self.peek() != ("PUNCT", "}"):
+            self.expect_punct("(")
+            row = []
+            while self.peek() != ("PUNCT", ")"):
+                row.append(one_value())
+            self.take()
+            if len(row) != len(names):
+                raise SparqlSyntaxError("VALUES row arity mismatch")
+            rows.append(tuple(row))
+        self.take()
+        return names, rows
 
     # -- full query ---------------------------------------------------
     def query(self):
@@ -388,16 +450,57 @@ class _Parser:
             self.prefixes[val] = iri[1:-1]
         self.expect_kw("SELECT")
         distinct = self.kw("DISTINCT")
-        select_vars = []
+        select_items = []  # ('var', name) | ('agg', fn, distinct, var, alias)
         if self.peek() == ("PUNCT", "*"):
             self.take()
         else:
-            while self.peek()[0] == "VAR":
-                select_vars.append(self.take()[1][1:])
-            if not select_vars:
+            while True:
+                kind, val = self.peek()
+                if kind == "VAR":
+                    self.take()
+                    select_items.append(("var", val[1:]))
+                elif (kind, val) == ("PUNCT", "("):
+                    self.take()
+                    fkind, fval = self.take()
+                    fn = fval.upper()
+                    if fkind != "KW" or fn not in (
+                            "COUNT", "SUM", "AVG", "MIN", "MAX"):
+                        raise SparqlSyntaxError(
+                            f"unsupported aggregate {fval!r}")
+                    self.expect_punct("(")
+                    agg_distinct = self.kw("DISTINCT")
+                    if self.peek() == ("PUNCT", "*"):
+                        self.take()
+                        var = None
+                        if fn != "COUNT":
+                            raise SparqlSyntaxError(f"{fn}(*) is not SPARQL")
+                    else:
+                        vkind, vval = self.take()
+                        if vkind != "VAR":
+                            raise SparqlSyntaxError(
+                                "aggregate needs a variable or *")
+                        var = vval[1:]
+                    self.expect_punct(")")
+                    self.expect_kw("AS")
+                    akind, aval = self.take()
+                    if akind != "VAR":
+                        raise SparqlSyntaxError("AS needs a variable")
+                    self.expect_punct(")")
+                    select_items.append(("agg", fn, agg_distinct, var,
+                                         aval[1:]))
+                else:
+                    break
+            if not select_items:
                 raise SparqlSyntaxError("SELECT needs variables or *")
         self.expect_kw("WHERE")
-        patterns, filters, optionals = self.group()
+        where = self.group()
+        group_by = []
+        if self.kw("GROUP"):
+            self.expect_kw("BY")
+            while self.peek()[0] == "VAR":
+                group_by.append(self.take()[1][1:])
+            if not group_by:
+                raise SparqlSyntaxError("GROUP BY needs variables")
         order = []
         if self.kw("ORDER"):
             self.expect_kw("BY")
@@ -424,47 +527,129 @@ class _Parser:
         if self.peek()[0] != "EOF":
             raise SparqlSyntaxError(
                 f"trailing input at {self.peek()[1]!r}")
-        return (distinct, select_vars, patterns, filters, optionals,
+        return (distinct, select_items, where, group_by,
                 order, limit, offset)
+
+
+def _compile_group(triples: DataFrame, g: dict,
+                   path_max_rounds: int) -> DataFrame:
+    """Compile one WHERE group dict -> a bindings DataFrame."""
+    from .graphops import bgp_match
+
+    out = None
+    if g["unions"]:
+        alts = [_compile_group(triples, alt, path_max_rounds)
+                for alt in g["unions"]]
+        # SPARQL UNION aligns by variable NAME; a variable absent
+        # from one branch is unbound (null) there
+        out = alts[0]
+        for alt in alts[1:]:
+            out = out.unionByName(alt, allowMissingColumns=True)
+    if g["patterns"]:
+        bgp = bgp_match(triples, g["patterns"],
+                        path_max_rounds=path_max_rounds)
+        if out is None:
+            out = bgp
+        else:
+            shared = sorted(set(out.columns) & set(bgp.columns))
+            if not shared:
+                raise SparqlSyntaxError(
+                    "UNION block shares no variable with the group's "
+                    "triple patterns (would be a cross join)")
+            out = out.join(bgp, on=shared)
+    for names, rows in g["values"]:
+        vals = triples.sparkSession.createDataFrame(
+            rows, ", ".join(f"`{n}` string" for n in names))
+        if out is None:
+            out = vals
+            continue
+        shared = sorted(set(out.columns) & set(names))
+        if not shared:
+            raise SparqlSyntaxError(
+                "VALUES shares no variable with the group")
+        out = out.join(F.broadcast(vals), on=shared)
+    if out is None:
+        raise SparqlSyntaxError("empty WHERE group")
+    for opt in g["optionals"]:
+        inner = _compile_group(triples, opt, path_max_rounds)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if not shared:
+            raise SparqlSyntaxError(
+                "OPTIONAL shares no variable with the outer group")
+        out = out.join(inner, on=shared, how="left")
+    # group-scope FILTERs apply over the whole group INCLUDING
+    # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);
+    # Catalyst pushes outer-column-only predicates back below the
+    # left joins, so evaluation order costs nothing.
+    for f in g["filters"]:
+        out = out.where(f)
+    return out
+
+
+_AGG_FN = {
+    # SUM/AVG are numeric by definition -> cast the lexical form;
+    # MIN/MAX stay lexical (documented, matches the engine's
+    # string-ordered canonical sort)
+    "COUNT": lambda c: F.count(c),
+    "SUM": lambda c: F.sum(c.cast("double")),
+    "AVG": lambda c: F.avg(c.cast("double")),
+    "MIN": lambda c: F.min(c),
+    "MAX": lambda c: F.max(c),
+}
 
 
 def sparql_select(
     triples: DataFrame, query: str, path_max_rounds: int = 16
 ) -> DataFrame:
     """Run a SPARQL SELECT (see module docstring for the subset) over
-    the canonical triple table -> one column per selected variable.
+    the canonical triple table -> one column per selected variable /
+    aggregate alias.
 
     The result is a lazy DataFrame; the plan is identical to the
-    hand-composed bgp_match / filter / left-join / orderBy chain.
+    hand-composed bgp_match / filter / left-join / groupBy.agg /
+    orderBy chain, so aggregation gets map-side partial combine and
+    ORDER+LIMIT collapse to TakeOrderedAndProject for free.
     """
-    from .graphops import bgp_match
-
-    (distinct, select_vars, patterns, filters, optionals, order,
+    (distinct, select_items, where, group_by, order,
      limit, offset) = _Parser(query).query()
-    if not patterns:
-        raise SparqlSyntaxError("empty WHERE group")
-    out = bgp_match(triples, patterns, path_max_rounds=path_max_rounds)
-    for opt_patterns, opt_filters in optionals:
-        opt = bgp_match(triples, opt_patterns,
-                        path_max_rounds=path_max_rounds)
-        for f in opt_filters:
-            opt = opt.where(f)
-        shared = sorted(set(out.columns) & set(opt.columns))
-        if not shared:
+    out = _compile_group(triples, where, path_max_rounds)
+
+    aggs = [it for it in select_items if it[0] == "agg"]
+    plain = [it[1] for it in select_items if it[0] == "var"]
+    if aggs or group_by:
+        bad = sorted(set(plain) - set(group_by))
+        if bad:
             raise SparqlSyntaxError(
-                "OPTIONAL shares no variable with the outer group")
-        out = out.join(opt, on=shared, how="left")
-    # group-scope FILTERs apply over the whole group INCLUDING
-    # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);
-    # Catalyst pushes outer-column-only predicates back below the
-    # left joins, so evaluation order costs nothing.
-    for f in filters:
-        out = out.where(f)
-    if select_vars:
-        missing = [v for v in select_vars if v not in out.columns]
+                f"non-grouped variables in aggregate SELECT: {bad}")
+        exprs = []
+        for _, fn, agg_distinct, var, alias in aggs:
+            if var is None:  # COUNT(*)
+                col = F.lit(1)
+            else:
+                if var not in out.columns:
+                    raise SparqlSyntaxError(f"unbound variable ?{var}")
+                col = F.col(var)
+            if agg_distinct:
+                if fn != "COUNT":
+                    raise SparqlSyntaxError(
+                        f"{fn}(DISTINCT) not in subset")
+                expr = F.countDistinct(col)
+            else:
+                expr = _AGG_FN[fn](col)
+            exprs.append(expr.alias(alias))
+        missing = [v for v in group_by if v not in out.columns]
+        if missing:
+            raise SparqlSyntaxError(f"unbound GROUP BY variables {missing}")
+        out = (out.groupBy(*group_by).agg(*exprs) if group_by
+               else out.agg(*exprs))
+        if select_items:  # project in the written SELECT order
+            out = out.select(*[
+                it[1] if it[0] == "var" else it[4] for it in select_items])
+    elif select_items:
+        missing = [v for v in plain if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(f"unbound SELECT variables {missing}")
-        out = out.select(*select_vars)
+        out = out.select(*plain)
     if distinct:
         out = out.distinct()
     if order:

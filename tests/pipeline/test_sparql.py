@@ -123,6 +123,62 @@ def test_select_star_keeps_first_seen_order(g):
     assert df.columns == ["p", "q", "n"]
 
 
+def test_group_by_aggregates(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?t (COUNT(*) AS ?cnt) WHERE { ?p a ?t . }
+        GROUP BY ?t"""))
+    assert got == {(E + "Person", 3), (E + "Animal", 1)}
+    # global aggregate (no GROUP BY) + SUM casts the lexical forms
+    got = rows(sparql_select(g, PFX + """
+        SELECT (COUNT(?p) AS ?n) (SUM(?a) AS ?total) WHERE {
+          ?p ex:age ?a . }"""))
+    assert got == {(2, 49.0)}
+    # COUNT(DISTINCT ?t) + written-order projection with MIN lexical
+    got = rows(sparql_select(g, PFX + """
+        SELECT (COUNT(DISTINCT ?t) AS ?k) (MIN(?n) AS ?first) WHERE {
+          ?p a ?t ; ex:name ?n . }"""))
+    assert got == {(2, "Alice")}
+    # non-grouped plain variable must raise
+    with pytest.raises(Exception):
+        sparql_select(g, PFX + """
+            SELECT ?p (COUNT(*) AS ?c) WHERE { ?p a ?t . }
+            GROUP BY ?t""")
+
+
+def test_union(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE {
+          { ?p a ex:Animal . ?p ex:name ?n . }
+          UNION
+          { ?p ex:age ?a . ?p ex:name ?n . FILTER (?a > 10) }
+        }"""))
+    assert got == {("Rex",), ("Bob",)}
+    # variables missing from one branch come back null there
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?a WHERE {
+          { ?p a ex:Animal . ?p ex:name ?n . }
+          UNION
+          { ?p ex:age ?a . ?p ex:name ?n . }
+        }"""))
+    assert got == {("Rex", None), ("Alice", "9"), ("Bob", "40")}
+
+
+def test_values(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p ?n WHERE {
+          VALUES ?p { ex:alice ex:dog }
+          ?p ex:name ?n .
+        }"""))
+    assert got == {(E + "alice", "Alice"), (E + "dog", "Rex")}
+    # multi-var VALUES constrains pairs, not the cross product
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p ?n WHERE {
+          ?p ex:name ?n .
+          VALUES (?p ?n) { (ex:alice "Alice") (ex:bob "WRONG") }
+        }"""))
+    assert got == {(E + "alice", "Alice")}
+
+
 def test_syntax_errors(g):
     for bad, why in [
         ("SELECT ?x WHERE { }", "empty group"),
