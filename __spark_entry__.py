@@ -736,6 +736,22 @@ def q_kg_sparql_select(spark, sf_dir):
         }""")
 
 
+def q_kg_construct_transform(spark, sf_dir):
+    """SPARQL CONSTRUCT as graph transformation: re-express the nation
+    KG in a target vocabulary (Place/located/label) — one array-explode
+    pass over the BGP bindings, kinds/datatypes carried through
+    (operators/sparql.py sparql_construct). Oracle replays the
+    template over the generation rules."""
+    from rdf_spark.operators.sparql import sparql_construct
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return sparql_construct(t, """
+        PREFIX ex: <http://ex/>
+        CONSTRUCT { ?n a ex:Place ; ex:located ?r ; ex:label ?name . }
+        WHERE { ?n a ex:Nation ; ex:inRegion ?r ; ex:name ?name . }
+    """).select("subj", "pred", "obj_kind", "obj_lex")
+
+
 def q_rdf_group_by_graph(spark, sf_dir):
     from rdf_spark.operators.graphops import graphs
 
@@ -1646,9 +1662,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r1+r2+r3, still locally oracled in the tail)
         "kg_rdfs_infer": q_kg_rdfs_infer,
         "kg_sameas_rewrite": q_kg_sameas_rewrite,
-        # round-4 SPARQL SELECT front-end (operators/sparql.py); its
-        # head-50 slot comes from emb_ivf_topk (green r3, tail below)
+        # round-4 SPARQL front-end (operators/sparql.py); the head-50
+        # slots come from emb_ivf_topk and web_url_normalize (green
+        # r3 / triple-green, tail below)
         "kg_sparql_select": q_kg_sparql_select,
+        "kg_construct_transform": q_kg_construct_transform,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
@@ -1667,7 +1685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         # training-data / curation
-        "web_url_normalize": q_web_url_normalize,
         "doc_pii": q_doc_pii,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_remove_boilerplate": q_doc_remove_boilerplate,
@@ -1691,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "tpch_q1_like": q_tpch_q1_like,
+        "web_url_normalize": q_web_url_normalize,
         "emb_ivf_topk": q_emb_ivf_topk,
         "doc_quality": q_doc_quality,
         "rdf_triple_pattern": q_rdf_triple_pattern,
@@ -2245,6 +2263,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_regionkey % 2 = 0 THEN r_name END AS rlabel
             FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
             WHERE contains(n_name, 'A') OR length(n_name) <= 6
+        """,
+        # kg_construct_transform: the CONSTRUCT template instantiated
+        # per nation row — type triple (IRI object, kind 0), located
+        # (IRI), label (literal, kind 2)
+        "kg_construct_transform": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj,
+                   '{RDF_TYPE}' AS pred,
+                   CAST(0 AS TINYINT) AS obj_kind,
+                   'http://ex/Place' AS obj_lex FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/located',
+                   CAST(0 AS TINYINT), 'http://ex/r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/label',
+                   CAST(2 AS TINYINT), n_name FROM nation
         """,
         # kg_shacl replays the defect-seeding rules of
         # _nation_turtle_shaped directly (the Spark side goes through

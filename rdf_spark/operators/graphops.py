@@ -67,7 +67,8 @@ def predicate_object_map(triples: DataFrame) -> DataFrame:
 
 
 def bgp_match(
-    triples: DataFrame, patterns, path_max_rounds: int = 16
+    triples: DataFrame, patterns, path_max_rounds: int = 16,
+    keep_kinds: bool = False,
 ) -> DataFrame:
     """SPARQL-style basic-graph-pattern matching: conjunctive
     triple patterns with shared variables -> a bindings DataFrame
@@ -103,6 +104,10 @@ def bgp_match(
     if not patterns:
         raise ValueError("empty pattern list")
     pos_cols = {"subj": "subj", "pred": "pred", "obj": "obj_lex"}
+    # with keep_kinds, an object-position variable also carries
+    # `<var>__kind/__datatype/__lang` columns (term metadata for
+    # CONSTRUCT templates); emitted once per variable across patterns
+    kinded: set[str] = set()
 
     def one(p):
         s, pr, o = p
@@ -140,6 +145,19 @@ def bgp_match(
                 else:
                     seen[var] = col
                     cols.append(F.col(col).alias(var))
+                    if keep_kinds and pos == "obj" and var not in kinded:
+                        kinded.add(var)
+                        null_s = F.lit(None).cast("string")
+                        have = set(triples.columns)
+                        cols.extend([
+                            (F.col("obj_kind") if "obj_kind" in have
+                             else F.lit(None).cast("tinyint")
+                             ).alias(f"{var}__kind"),
+                            (F.col("obj_datatype") if "obj_datatype" in have
+                             else null_s).alias(f"{var}__datatype"),
+                            (F.col("obj_lang") if "obj_lang" in have
+                             else null_s).alias(f"{var}__lang"),
+                        ])
             else:
                 df = df.where(F.col(col) == val)
         return df.select(*cols), set(seen)

@@ -17,7 +17,13 @@ the DataFrame calls by hand:
   comparisons, && || !, REGEX, STRSTARTS/STRENDS/CONTAINS, STRLEN,
   LCASE/UCASE, BOUND),
 - OPTIONAL { ... }   -> left outer join on the shared variables,
-- SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET.
+- { A } UNION { B }  -> unionByName with null-fill (bag semantics),
+- VALUES             -> broadcast inline-binding join (UNDEF -> null),
+- GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX (AS ?alias)
+                     -> groupBy.agg (map-side partial combine),
+- SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
+- CONSTRUCT { template } -> a new triple table via one array-explode
+  pass over the bindings (:func:`sparql_construct`).
 
 Semantics notes (documented contracts, mirrored by the test oracles):
 
@@ -28,8 +34,9 @@ Semantics notes (documented contracts, mirrored by the test oracles):
   double (so ``FILTER(?qty > 30)`` behaves arithmetically).
 - OPTIONAL with no shared variable raises (implicit cross join —
   never at 10^12 rows), as does a disconnected BGP pattern.
-- Unsupported SPARQL (GROUP BY, UNION, subqueries, VALUES, named
-  graphs) raises :class:`SparqlSyntaxError` — never silently wrong.
+- Unsupported SPARQL (subqueries, named graphs, MINUS, BIND,
+  SERVICE, HAVING) raises :class:`SparqlSyntaxError` — never
+  silently wrong.
 
 Scale shape: the compiled plan is exactly the hand-written one — no
 driver-side evaluation, no collect; LIMIT/ORDER push into Spark's
@@ -328,6 +335,54 @@ class _Parser:
             return F.upper(cols[0]), False
         raise SparqlSyntaxError(f"unsupported function {name}")
 
+    def term_tagged(self):
+        """CONSTRUCT-template term -> (tag, value) keeping the
+        syntactic category: var / iri / lit / num / bool."""
+        kind, val = self.take()
+        if kind == "VAR":
+            return ("var", val[1:])
+        if kind == "IRI":
+            return ("iri", val[1:-1])
+        if kind == "PNAME":
+            return ("iri", self._expand(val))
+        if kind == "STRING":
+            return ("lit", _unquote(val))
+        if kind == "NUMBER":
+            return ("num", val)
+        if kind == "KW" and val == "a":
+            return ("iri", RDF_TYPE)
+        if kind == "KW" and val in ("true", "false"):
+            return ("bool", val)
+        raise SparqlSyntaxError(f"bad template term {val!r}")
+
+    def template(self):
+        """CONSTRUCT { ... } -> list of tagged (s, p, o) triples;
+        supports the same ``;`` / ``,`` lists as WHERE, no paths."""
+        self.expect_punct("{")
+        out = []
+        while self.peek() != ("PUNCT", "}"):
+            subj = self.term_tagged()
+            while True:
+                pred = self.term_tagged()
+                while True:
+                    out.append((subj, pred, self.term_tagged()))
+                    if self.peek() == ("PUNCT", ","):
+                        self.take()
+                        continue
+                    break
+                if self.peek() == ("PUNCT", ";"):
+                    self.take()
+                    if self.peek() in (("PUNCT", "."), ("PUNCT", "}")):
+                        break
+                    continue
+                break
+            if self.peek() == ("PUNCT", "."):
+                self.take()
+        self.take()
+        if not out:
+            raise SparqlSyntaxError("empty CONSTRUCT template")
+        return out
+
     # -- WHERE group --------------------------------------------------
     def group(self):
         """-> dict(patterns, filters, optionals, unions, values).
@@ -438,7 +493,7 @@ class _Parser:
         return names, rows
 
     # -- full query ---------------------------------------------------
-    def query(self):
+    def prologue(self):
         while self.kw("PREFIX"):
             kind, val = self.take()
             if kind != "KW":
@@ -448,6 +503,21 @@ class _Parser:
             if kind != "IRI":
                 raise SparqlSyntaxError("PREFIX needs an IRI")
             self.prefixes[val] = iri[1:-1]
+
+    def construct_query(self):
+        self.prologue()
+        self.expect_kw("CONSTRUCT")
+        template = self.template()
+        self.expect_kw("WHERE")
+        where = self.group()
+        limit = int(self.take()[1]) if self.kw("LIMIT") else None
+        if self.peek()[0] != "EOF":
+            raise SparqlSyntaxError(
+                f"trailing input at {self.peek()[1]!r}")
+        return template, where, limit
+
+    def query(self):
+        self.prologue()
         self.expect_kw("SELECT")
         distinct = self.kw("DISTINCT")
         select_items = []  # ('var', name) | ('agg', fn, distinct, var, alias)
@@ -532,13 +602,14 @@ class _Parser:
 
 
 def _compile_group(triples: DataFrame, g: dict,
-                   path_max_rounds: int) -> DataFrame:
+                   path_max_rounds: int,
+                   keep_kinds: bool = False) -> DataFrame:
     """Compile one WHERE group dict -> a bindings DataFrame."""
     from .graphops import bgp_match
 
     out = None
     if g["unions"]:
-        alts = [_compile_group(triples, alt, path_max_rounds)
+        alts = [_compile_group(triples, alt, path_max_rounds, keep_kinds)
                 for alt in g["unions"]]
         # SPARQL UNION aligns by variable NAME; a variable absent
         # from one branch is unbound (null) there
@@ -547,7 +618,8 @@ def _compile_group(triples: DataFrame, g: dict,
             out = out.unionByName(alt, allowMissingColumns=True)
     if g["patterns"]:
         bgp = bgp_match(triples, g["patterns"],
-                        path_max_rounds=path_max_rounds)
+                        path_max_rounds=path_max_rounds,
+                        keep_kinds=keep_kinds)
         if out is None:
             out = bgp
         else:
@@ -571,7 +643,7 @@ def _compile_group(triples: DataFrame, g: dict,
     if out is None:
         raise SparqlSyntaxError("empty WHERE group")
     for opt in g["optionals"]:
-        inner = _compile_group(triples, opt, path_max_rounds)
+        inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
         shared = sorted(set(out.columns) & set(inner.columns))
         if not shared:
             raise SparqlSyntaxError(
@@ -661,3 +733,93 @@ def sparql_select(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def sparql_construct(
+    triples: DataFrame, query: str, path_max_rounds: int = 16
+) -> DataFrame:
+    """Run a SPARQL CONSTRUCT over the canonical triple table -> a NEW
+    triple table (7-column core), deduplicated (CONSTRUCT builds a
+    graph: set semantics).
+
+    The WHERE group supports the full SELECT subset (BGP, paths,
+    FILTER, OPTIONAL, UNION, VALUES). Template instantiation is ONE
+    pass over the bindings: every template triple becomes a struct in
+    an array column, invalid instantiations are nulled in place and
+    filtered inside the array, then a single ``explode`` emits the
+    graph — no per-template re-scan of the bindings.
+
+    Spec conformance on invalid instantiations (silently omitted, per
+    SPARQL 1.1 §16.2): rows where any template variable is unbound
+    (OPTIONAL miss / UNION branch), where a subject variable is bound
+    to a literal, or where a predicate variable is bound to anything
+    but an IRI.  Term metadata flows through: an object variable
+    bound to a literal keeps its datatype/lang (bgp_match
+    keep_kinds); variables bound by property-path patterns carry no
+    kind column and default to IRI (paths traverse the graph, so
+    non-tail path bindings are IRIs; a literal path tail constructed
+    into an object keeps its lexical form but drops datatype/lang —
+    documented limitation).
+    """
+    from ..terms import KIND_IRI, KIND_LITERAL
+
+    template, where, limit = _Parser(query).construct_query()
+    b = _compile_group(triples, where, path_max_rounds, keep_kinds=True)
+    cols = set(b.columns)
+
+    null_s = F.lit(None).cast("string")
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+
+    def piece(term, position):
+        """-> (lex, kind, datatype, lang, valid) Columns for one
+        template term in subj/pred/obj position."""
+        tag, v = term
+        if tag == "var":
+            if v not in cols:
+                raise SparqlSyntaxError(
+                    f"template variable ?{v} not bound in WHERE")
+            lex = F.col(v)
+            if f"{v}__kind" in cols:
+                kind = F.coalesce(F.col(f"{v}__kind"), F.lit(KIND_IRI))
+                dt, lang = F.col(f"{v}__datatype"), F.col(f"{v}__lang")
+            else:
+                kind, dt, lang = F.lit(KIND_IRI), null_s, null_s
+            valid = lex.isNotNull()
+            if position == "subj":
+                valid = valid & (kind != KIND_LITERAL)
+            elif position == "pred":
+                valid = valid & (kind == KIND_IRI)
+            return lex, kind, dt, lang, valid
+        if tag == "iri":
+            return F.lit(v), F.lit(KIND_IRI), null_s, null_s, F.lit(True)
+        if position != "obj":
+            raise SparqlSyntaxError(
+                f"literal {v!r} only allowed in object position")
+        dt = {"lit": null_s,
+              "num": F.lit(XSD + ("integer" if "." not in v else "decimal")),
+              "bool": F.lit(XSD + "boolean")}[tag]
+        return F.lit(v), F.lit(KIND_LITERAL), dt, null_s, F.lit(True)
+
+    structs = []
+    for s, p, o in template:
+        s_lex, s_kind, _, _, s_ok = piece(s, "subj")
+        p_lex, _, _, _, p_ok = piece(p, "pred")
+        o_lex, o_kind, o_dt, o_lang, o_ok = piece(o, "obj")
+        structs.append(F.when(s_ok & p_ok & o_ok, F.struct(
+            s_kind.cast("tinyint").alias("subj_kind"),
+            s_lex.alias("subj"),
+            p_lex.alias("pred"),
+            o_kind.cast("tinyint").alias("obj_kind"),
+            o_lex.alias("obj_lex"),
+            o_dt.alias("obj_datatype"),
+            o_lang.alias("obj_lang"),
+        )))
+    arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
+    out = (
+        b.select(F.explode(arr).alias("t"))
+        .select([F.col(f"t.{c}").alias(c) for c in (
+            "subj_kind", "subj", "pred", "obj_kind", "obj_lex",
+            "obj_datatype", "obj_lang")])
+        .distinct()
+    )
+    return out.limit(limit) if limit is not None else out

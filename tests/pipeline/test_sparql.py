@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdf_spark.operators.sparql import (
-    RDF_TYPE, SparqlSyntaxError, sparql_select,
+    RDF_TYPE, SparqlSyntaxError, sparql_construct, sparql_select,
 )
 from rdf_spark.terms import KIND_IRI, KIND_LITERAL
 
@@ -177,6 +177,60 @@ def test_values(g):
           VALUES (?p ?n) { (ex:alice "Alice") (ex:bob "WRONG") }
         }"""))
     assert got == {(E + "alice", "Alice")}
+
+
+def test_construct_basic(g, spark):
+    out = sparql_construct(g, PFX + """
+        CONSTRUCT { ?p a ex:Agent ; ex:label ?n . }
+        WHERE { ?p a ex:Person ; ex:name ?n . }""")
+    assert set(out.columns) == {"subj_kind", "subj", "pred", "obj_kind",
+                                "obj_lex", "obj_datatype", "obj_lang"}
+    got = {(r.subj, r.pred, r.obj_kind, r.obj_lex) for r in out.collect()}
+    assert got == {
+        (E + "alice", RDF_TYPE, KIND_IRI, E + "Agent"),
+        (E + "bob", RDF_TYPE, KIND_IRI, E + "Agent"),
+        (E + "carol", RDF_TYPE, KIND_IRI, E + "Agent"),
+        (E + "alice", E + "label", KIND_LITERAL, "Alice"),
+        (E + "bob", E + "label", KIND_LITERAL, "Bob"),
+        (E + "carol", E + "label", KIND_LITERAL, "carol lower"),
+    }
+    # object var bound to a literal keeps KIND_LITERAL; to an IRI
+    # keeps KIND_IRI — metadata flows through keep_kinds
+    out2 = sparql_construct(g, PFX + """
+        CONSTRUCT { ?p ex:linked ?o . } WHERE { ?p ex:knows ?o . }""")
+    assert {r.obj_kind for r in out2.collect()} == {KIND_IRI}
+
+
+def test_construct_invalid_instantiations_dropped(g):
+    # unbound OPTIONAL var -> that template triple is omitted for
+    # carol, but the bound template triple still constructs
+    out = sparql_construct(g, PFX + """
+        CONSTRUCT { ?p ex:age2 ?a ; ex:label ?n . }
+        WHERE { ?p a ex:Person ; ex:name ?n .
+                OPTIONAL { ?p ex:age ?a } }""")
+    got = {(r.subj, r.pred, r.obj_lex) for r in out.collect()}
+    assert (E + "carol", E + "age2", None) not in got
+    assert sum(1 for s, p, o in got if p == E + "age2") == 2
+    assert sum(1 for s, p, o in got if p == E + "label") == 3
+    # literal bound into SUBJECT position -> instantiation dropped
+    out2 = sparql_construct(g, PFX + """
+        CONSTRUCT { ?n ex:of ?p . } WHERE { ?p ex:name ?n . }""")
+    assert out2.count() == 0
+
+
+def test_construct_constants_and_dedup(g):
+    # constant template triple instantiates identically per binding
+    # row -> CONSTRUCT's graph semantics collapse it to ONE row
+    out = sparql_construct(g, PFX + """
+        CONSTRUCT { ex:corpus ex:hasMember ?p . ex:corpus a ex:Corpus ;
+                    ex:size 3 . }
+        WHERE { ?p a ex:Person . }""")
+    rows_ = {(r.subj, r.pred, r.obj_kind, r.obj_lex, r.obj_datatype)
+             for r in out.collect()}
+    assert (E + "corpus", RDF_TYPE, KIND_IRI, E + "Corpus", None) in rows_
+    assert (E + "corpus", E + "size", KIND_LITERAL, "3",
+            "http://www.w3.org/2001/XMLSchema#integer") in rows_
+    assert len(rows_) == 5  # 3 members + type + size
 
 
 def test_syntax_errors(g):
