@@ -21,9 +21,12 @@ the DataFrame calls by hand:
 - VALUES             -> broadcast inline-binding join (UNDEF -> null),
 - GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX (AS ?alias)
                      -> groupBy.agg (map-side partial combine),
+- BIND(expr AS ?v)   -> withColumn, HAVING -> post-aggregate filter,
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
 - CONSTRUCT { template } -> a new triple table via one array-explode
-  pass over the bindings (:func:`sparql_construct`).
+  pass over the bindings (:func:`sparql_construct`),
+- ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
+  symmetric CBD (:func:`sparql_describe`).
 
 Semantics notes (documented contracts, mirrored by the test oracles):
 
@@ -34,9 +37,8 @@ Semantics notes (documented contracts, mirrored by the test oracles):
   double (so ``FILTER(?qty > 30)`` behaves arithmetically).
 - OPTIONAL with no shared variable raises (implicit cross join —
   never at 10^12 rows), as does a disconnected BGP pattern.
-- Unsupported SPARQL (subqueries, named graphs, MINUS, BIND,
-  SERVICE, HAVING) raises :class:`SparqlSyntaxError` — never
-  silently wrong.
+- Unsupported SPARQL (subqueries, named graphs, MINUS, SERVICE)
+  raises :class:`SparqlSyntaxError` — never silently wrong.
 
 Scale shape: the compiled plan is exactly the hand-written one — no
 driver-side evaluation, no collect; LIMIT/ORDER push into Spark's
@@ -392,7 +394,7 @@ class _Parser:
         ``(var_names, rows)`` inline-binding tables."""
         self.expect_punct("{")
         g = {"patterns": [], "filters": [], "optionals": [],
-             "unions": [], "values": []}
+             "unions": [], "values": [], "binds": []}
         while True:
             kind, val = self.peek()
             if (kind, val) == ("PUNCT", "}"):
@@ -430,8 +432,21 @@ class _Parser:
                 self.take()
                 g["values"].append(self._values_block())
                 continue
+            if kind == "KW" and val.upper() == "BIND":
+                self.take()
+                self.expect_punct("(")
+                expr, _ = self._operand()
+                self.expect_kw("AS")
+                vkind, vval = self.take()
+                if vkind != "VAR":
+                    raise SparqlSyntaxError("BIND needs AS ?var")
+                self.expect_punct(")")
+                g["binds"].append((
+                    expr if isinstance(expr, Column) else F.lit(expr),
+                    vval[1:]))
+                continue
             if kind == "KW" and val.upper() in (
-                    "GRAPH", "MINUS", "BIND", "SERVICE"):
+                    "GRAPH", "MINUS", "SERVICE"):
                 raise SparqlSyntaxError(f"{val.upper()} not in subset")
             # triple block: subject (pred obj (, obj)* (; pred obj...)*) .
             subj = self.term()
@@ -571,6 +586,11 @@ class _Parser:
                 group_by.append(self.take()[1][1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs variables")
+        having = None
+        if self.kw("HAVING"):
+            self.expect_punct("(")
+            having = self._or_expr()
+            self.expect_punct(")")
         order = []
         if self.kw("ORDER"):
             self.expect_kw("BY")
@@ -597,7 +617,7 @@ class _Parser:
         if self.peek()[0] != "EOF":
             raise SparqlSyntaxError(
                 f"trailing input at {self.peek()[1]!r}")
-        return (distinct, select_items, where, group_by,
+        return (distinct, select_items, where, group_by, having,
                 order, limit, offset)
 
 
@@ -642,6 +662,8 @@ def _compile_group(triples: DataFrame, g: dict,
         out = out.join(F.broadcast(vals), on=shared)
     if out is None:
         raise SparqlSyntaxError("empty WHERE group")
+    for expr, name in g["binds"]:
+        out = out.withColumn(name, expr)
     for opt in g["optionals"]:
         inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
         shared = sorted(set(out.columns) & set(inner.columns))
@@ -682,12 +704,14 @@ def sparql_select(
     orderBy chain, so aggregation gets map-side partial combine and
     ORDER+LIMIT collapse to TakeOrderedAndProject for free.
     """
-    (distinct, select_items, where, group_by, order,
+    (distinct, select_items, where, group_by, having, order,
      limit, offset) = _Parser(query).query()
     out = _compile_group(triples, where, path_max_rounds)
 
     aggs = [it for it in select_items if it[0] == "agg"]
     plain = [it[1] for it in select_items if it[0] == "var"]
+    if having is not None and not (aggs or group_by):
+        raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
     if aggs or group_by:
         bad = sorted(set(plain) - set(group_by))
         if bad:
@@ -714,6 +738,8 @@ def sparql_select(
             raise SparqlSyntaxError(f"unbound GROUP BY variables {missing}")
         out = (out.groupBy(*group_by).agg(*exprs) if group_by
                else out.agg(*exprs))
+        if having is not None:  # references group vars / agg aliases
+            out = out.where(having)
         if select_items:  # project in the written SELECT order
             out = out.select(*[
                 it[1] if it[0] == "var" else it[4] for it in select_items])
@@ -823,3 +849,86 @@ def sparql_construct(
         .distinct()
     )
     return out.limit(limit) if limit is not None else out
+
+
+def sparql_ask(
+    triples: DataFrame, query: str, path_max_rounds: int = 16
+) -> bool:
+    """Run a SPARQL ASK: ``[prologue] ASK { group }`` -> Python bool.
+
+    Compiles the group exactly like SELECT and probes for ONE row
+    (``limit(1).isEmpty()`` — Spark stops the scan at first match);
+    this is the single deliberately-eager entry point in the module,
+    because ASK's result IS a scalar.
+    """
+    p = _Parser(query)
+    p.prologue()
+    p.expect_kw("ASK")
+    where = p.group()
+    if p.peek()[0] != "EOF":
+        raise SparqlSyntaxError(f"trailing input at {p.peek()[1]!r}")
+    out = _compile_group(triples, where, path_max_rounds)
+    return not out.limit(1).isEmpty()
+
+
+def sparql_describe(
+    triples: DataFrame, query: str, path_max_rounds: int = 16
+) -> DataFrame:
+    """Run a SPARQL DESCRIBE -> every triple whose subject OR object
+    is a described resource (simple symmetric Concise Bounded
+    Description, the common store default).
+
+    Forms: ``DESCRIBE <iri> [<iri> ...]`` and
+    ``DESCRIBE ?v [?v ...] WHERE { group }``.  Constant IRIs become
+    pushed-down scan filters; variable describes semi-join the triple
+    table against the DISTINCT bindings (broadcast when small — the
+    resource list is usually tiny next to the graph).
+    """
+    p = _Parser(query)
+    p.prologue()
+    p.expect_kw("DESCRIBE")
+    iris, vars_ = [], []
+    while True:
+        kind, val = p.peek()
+        if kind == "IRI":
+            p.take()
+            iris.append(val[1:-1])
+        elif kind == "PNAME":
+            p.take()
+            iris.append(p._expand(val))
+        elif kind == "VAR":
+            p.take()
+            vars_.append(val[1:])
+        else:
+            break
+    if not iris and not vars_:
+        raise SparqlSyntaxError("DESCRIBE needs IRIs or variables")
+    nodes = None  # 1-column DataFrame of described resources
+    if vars_:
+        if not p.kw("WHERE"):
+            raise SparqlSyntaxError("DESCRIBE ?var needs a WHERE group")
+        b = _compile_group(triples, p.group(), path_max_rounds)
+        missing = [v for v in vars_ if v not in b.columns]
+        if missing:
+            raise SparqlSyntaxError(f"unbound DESCRIBE variables {missing}")
+        for v in vars_:
+            sel = b.select(F.col(v).alias("__node")).where(
+                F.col("__node").isNotNull())
+            nodes = sel if nodes is None else nodes.unionByName(sel)
+        nodes = nodes.distinct()
+    if p.peek()[0] != "EOF":
+        raise SparqlSyntaxError(f"trailing input at {p.peek()[1]!r}")
+
+    out = None
+    if iris:
+        out = triples.where(
+            F.col("subj").isin(iris) | F.col("obj_lex").isin(iris))
+    if nodes is not None:
+        bn = F.broadcast(nodes)
+        by_subj = triples.join(
+            bn, triples["subj"] == bn["__node"], "left_semi")
+        by_obj = triples.join(
+            bn, triples["obj_lex"] == bn["__node"], "left_semi")
+        var_part = by_subj.unionByName(by_obj)
+        out = var_part if out is None else out.unionByName(var_part)
+    return out.distinct()

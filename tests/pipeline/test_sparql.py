@@ -6,7 +6,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdf_spark.operators.sparql import (
-    RDF_TYPE, SparqlSyntaxError, sparql_construct, sparql_select,
+    RDF_TYPE, SparqlSyntaxError, sparql_ask, sparql_construct,
+    sparql_describe, sparql_select,
 )
 from rdf_spark.terms import KIND_IRI, KIND_LITERAL
 
@@ -231,6 +232,44 @@ def test_construct_constants_and_dedup(g):
     assert (E + "corpus", E + "size", KIND_LITERAL, "3",
             "http://www.w3.org/2001/XMLSchema#integer") in rows_
     assert len(rows_) == 5  # 3 members + type + size
+
+
+def test_bind_and_having(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?shout WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          BIND (UCASE(?n) AS ?shout)
+          FILTER (STRSTARTS(?shout, "A") || STRSTARTS(?shout, "C"))
+        }"""))
+    assert got == {("Alice", "ALICE"), ("carol lower", "CAROL LOWER")}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?t (COUNT(*) AS ?c) WHERE { ?p a ?t . }
+        GROUP BY ?t HAVING (?c > 1)"""))
+    assert got == {(E + "Person", 3)}
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT ?p WHERE { ?p a ex:Person . } HAVING (?p = "x")""")
+
+
+def test_ask(g):
+    assert sparql_ask(g, PFX + "ASK { ?p a ex:Animal . }") is True
+    assert sparql_ask(g, PFX + 'ASK { ?p ex:name "Nobody" . }') is False
+    assert sparql_ask(g, PFX + """
+        ASK { ?p ex:age ?a . FILTER (?a > 100) }""") is False
+
+
+def test_describe(g):
+    # constant IRI: all triples touching bob (subject or object)
+    got = {(r.subj, r.pred, r.obj_lex)
+           for r in sparql_describe(g, PFX + "DESCRIBE ex:bob").collect()}
+    assert (E + "bob", E + "name", "Bob") in got
+    assert (E + "alice", E + "knows", E + "bob") in got  # object side
+    assert all(E + "bob" in (s, o) for s, _, o in got)
+    # variable form with WHERE
+    got = {(r.subj, r.pred, r.obj_lex) for r in sparql_describe(g, PFX + """
+        DESCRIBE ?p WHERE { ?p a ex:Animal . }""").collect()}
+    assert got == {(E + "dog", RDF_TYPE, E + "Animal"),
+                   (E + "dog", E + "name", "Rex")}
 
 
 def test_syntax_errors(g):
