@@ -74,9 +74,13 @@ def bgp_match(
     triple patterns with shared variables -> a bindings DataFrame
     (one column per variable).
 
-    ``patterns`` is a list of (subj, pred, obj) where a string
-    starting with ``?`` is a variable and anything else is a constant
-    (IRI/literal lexical form); None is a don't-care wildcard.
+    ``patterns`` is a list of (subj, pred, obj) — or (subj, pred,
+    obj, graph) for named-graph patterns over a quad table — where a
+    string starting with ``?`` is a variable and anything else is a
+    constant (IRI/literal lexical form); None is a don't-care
+    wildcard. A 4-tuple requires a ``graph`` column (raises
+    otherwise) and may not use a property path (paths are evaluated
+    over the merged graph).
 
     The predicate position also accepts a SPARQL property-path
     expression (recognized by its first character ``<``, ``^``, ``!``
@@ -103,15 +107,27 @@ def bgp_match(
     (a cross join is never implicit at scale)."""
     if not patterns:
         raise ValueError("empty pattern list")
-    pos_cols = {"subj": "subj", "pred": "pred", "obj": "obj_lex"}
+    pos_cols = {"subj": "subj", "pred": "pred", "obj": "obj_lex",
+                "graph": "graph"}
     # with keep_kinds, an object-position variable also carries
     # `<var>__kind/__datatype/__lang` columns (term metadata for
     # CONSTRUCT templates); emitted once per variable across patterns
     kinded: set[str] = set()
 
     def one(p):
-        s, pr, o = p
+        if len(p) == 4:
+            s, pr, o, gr = p
+            if gr is not None and "graph" not in triples.columns:
+                raise ValueError(
+                    "graph-position pattern over a triple table with "
+                    "no 'graph' column")
+        else:
+            (s, pr, o), gr = p, None
         if isinstance(pr, str) and pr[:1] in ("<", "^", "!", "("):
+            if gr is not None:
+                raise ValueError(
+                    "property paths inside GRAPH patterns are not "
+                    "supported (paths run over the merged graph)")
             from .paths import eval_path
 
             pairs = eval_path(triples, pr, max_rounds=path_max_rounds)
@@ -134,7 +150,8 @@ def bgp_match(
         df = triples
         cols = []
         seen = {}
-        for pos, val in zip(("subj", "pred", "obj"), (s, pr, o)):
+        for pos, val in zip(("subj", "pred", "obj", "graph"),
+                            (s, pr, o, gr)):
             col = pos_cols[pos]
             if val is None:
                 continue

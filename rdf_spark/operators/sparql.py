@@ -37,8 +37,11 @@ Semantics notes (documented contracts, mirrored by the test oracles):
   double (so ``FILTER(?qty > 30)`` behaves arithmetically).
 - OPTIONAL with no shared variable raises (implicit cross join —
   never at 10^12 rows), as does a disconnected BGP pattern.
-- Unsupported SPARQL (subqueries, named graphs, MINUS, SERVICE)
-  raises :class:`SparqlSyntaxError` — never silently wrong.
+- GRAPH <iri>/?g { patterns } -> graph-position constants/variables
+  on quad tables (union-default-graph semantics for patterns outside
+  GRAPH, the common store configuration; paths inside GRAPH raise).
+- Unsupported SPARQL (subqueries, MINUS, SERVICE) raises
+  :class:`SparqlSyntaxError` — never silently wrong.
 
 Scale shape: the compiled plan is exactly the hand-written one — no
 driver-side evaluation, no collect; LIMIT/ORDER push into Spark's
@@ -445,8 +448,23 @@ class _Parser:
                     expr if isinstance(expr, Column) else F.lit(expr),
                     vval[1:]))
                 continue
-            if kind == "KW" and val.upper() in (
-                    "GRAPH", "MINUS", "SERVICE"):
+            if kind == "KW" and val.upper() == "GRAPH":
+                self.take()
+                if self.peek()[0] not in ("VAR", "IRI", "PNAME"):
+                    raise SparqlSyntaxError(
+                        f"GRAPH needs a variable or IRI, got "
+                        f"{self.peek()[1]!r}")
+                gterm = self.term()
+                inner = self.group()
+                if inner["optionals"] or inner["unions"] or \
+                        inner["values"] or inner["binds"]:
+                    raise SparqlSyntaxError(
+                        "only triple patterns and FILTER inside GRAPH")
+                g["patterns"].extend(
+                    (s, p, o, gterm) for s, p, o in inner["patterns"])
+                g["filters"].extend(inner["filters"])
+                continue
+            if kind == "KW" and val.upper() in ("MINUS", "SERVICE"):
                 raise SparqlSyntaxError(f"{val.upper()} not in subset")
             # triple block: subject (pred obj (, obj)* (; pred obj...)*) .
             subj = self.term()

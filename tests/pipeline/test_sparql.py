@@ -272,6 +272,30 @@ def test_describe(g):
                    (E + "dog", E + "name", "Rex")}
 
 
+def test_graph_patterns(spark):
+    quads = spark.createDataFrame(
+        [(E + "s1", E + "p", 0, E + "o1", E + "g1"),
+         (E + "s2", E + "p", 0, E + "o2", E + "g2"),
+         (E + "s3", E + "q", 0, E + "o3", E + "g1")],
+        "subj string, pred string, obj_kind tinyint, obj_lex string, "
+        "graph string")
+    # constant graph filters; variable graph binds
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?s WHERE { GRAPH <http://ex/g1> { ?s ex:p ?o . } }"""))
+    assert got == {(E + "s1",)}
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?g ?s WHERE { GRAPH ?g { ?s ex:p ?o . } }"""))
+    assert got == {(E + "g1", E + "s1"), (E + "g2", E + "s2")}
+    # patterns OUTSIDE graph match across graphs (union default graph)
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?s WHERE { ?s ex:p ?o . }"""))
+    assert got == {(E + "s1",), (E + "s2",)}
+    # GRAPH over a graph-less triple table raises
+    with pytest.raises(ValueError):
+        sparql_select(quads.drop("graph"), PFX + """
+            SELECT ?s WHERE { GRAPH ?g { ?s ex:p ?o . } }""").collect()
+
+
 def test_syntax_errors(g):
     for bad, why in [
         ("SELECT ?x WHERE { }", "empty group"),
