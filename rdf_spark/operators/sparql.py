@@ -19,6 +19,8 @@ the DataFrame calls by hand:
 - OPTIONAL { ... }   -> left outer join on the shared variables,
 - { A } UNION { B }  -> unionByName with null-fill (bag semantics),
 - VALUES             -> broadcast inline-binding join (UNDEF -> null),
+- MINUS { ... }      -> left-anti equi-join on the shared variables
+  (disjoint-domain MINUS removes nothing, per spec §8.3.3),
 - GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX (AS ?alias)
                      -> groupBy.agg (map-side partial combine),
 - BIND(expr AS ?v)   -> withColumn, HAVING -> post-aggregate filter,
@@ -40,7 +42,14 @@ Semantics notes (documented contracts, mirrored by the test oracles):
 - GRAPH <iri>/?g { patterns } -> graph-position constants/variables
   on quad tables (union-default-graph semantics for patterns outside
   GRAPH, the common store configuration; paths inside GRAPH raise).
-- Unsupported SPARQL (subqueries, MINUS, SERVICE) raises
+- MINUS compares shared variables null-strictly: an outer row whose
+  shared variable is null (from an OPTIONAL) is never removed.  The
+  spec removes it when the REMAINING shared variables match and at
+  least one is bound on both sides; that partial-unbound case would
+  need a non-equi anti-join (quadratic at scale), so the subset
+  documents the deviation instead.  Fully-disjoint domains follow the
+  spec exactly (nothing removed).
+- Unsupported SPARQL (subqueries, SERVICE) raises
   :class:`SparqlSyntaxError` — never silently wrong.
 
 Scale shape: the compiled plan is exactly the hand-written one — no
@@ -397,7 +406,7 @@ class _Parser:
         ``(var_names, rows)`` inline-binding tables."""
         self.expect_punct("{")
         g = {"patterns": [], "filters": [], "optionals": [],
-             "unions": [], "values": [], "binds": []}
+             "unions": [], "values": [], "binds": [], "minuses": []}
         while True:
             kind, val = self.peek()
             if (kind, val) == ("PUNCT", "}"):
@@ -426,9 +435,11 @@ class _Parser:
             if kind == "KW" and val.upper() == "OPTIONAL":
                 self.take()
                 inner = self.group()
-                if inner["optionals"] or inner["unions"]:
+                if inner["optionals"] or inner["unions"] or \
+                        inner["minuses"]:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL/UNION inside OPTIONAL unsupported")
+                        "nested OPTIONAL/UNION/MINUS inside OPTIONAL "
+                        "unsupported")
                 g["optionals"].append(inner)
                 continue
             if kind == "KW" and val.upper() == "VALUES":
@@ -457,15 +468,25 @@ class _Parser:
                 gterm = self.term()
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
-                        inner["values"] or inner["binds"]:
+                        inner["values"] or inner["binds"] or \
+                        inner["minuses"]:
                     raise SparqlSyntaxError(
                         "only triple patterns and FILTER inside GRAPH")
                 g["patterns"].extend(
                     (s, p, o, gterm) for s, p, o in inner["patterns"])
                 g["filters"].extend(inner["filters"])
                 continue
-            if kind == "KW" and val.upper() in ("MINUS", "SERVICE"):
-                raise SparqlSyntaxError(f"{val.upper()} not in subset")
+            if kind == "KW" and val.upper() == "MINUS":
+                self.take()
+                inner = self.group()
+                if inner["optionals"] or inner["unions"] or inner["minuses"]:
+                    raise SparqlSyntaxError(
+                        "nested OPTIONAL/UNION/MINUS inside MINUS "
+                        "unsupported")
+                g["minuses"].append(inner)
+                continue
+            if kind == "KW" and val.upper() == "SERVICE":
+                raise SparqlSyntaxError("SERVICE not in subset")
             # triple block: subject (pred obj (, obj)* (; pred obj...)*) .
             subj = self.term()
             while True:
@@ -689,6 +710,15 @@ def _compile_group(triples: DataFrame, g: dict,
             raise SparqlSyntaxError(
                 "OPTIONAL shares no variable with the outer group")
         out = out.join(inner, on=shared, how="left")
+    for m in g["minuses"]:
+        inner = _compile_group(triples, m, path_max_rounds, keep_kinds)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if not shared:
+            # SPARQL MINUS with disjoint domains removes NOTHING
+            # (spec §8.3.3) — dropping rows here would be wrong
+            continue
+        out = out.join(inner.select(*shared).dropna(how="any"),
+                       on=shared, how="left_anti")
     # group-scope FILTERs apply over the whole group INCLUDING
     # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);
     # Catalyst pushes outer-column-only predicates back below the

@@ -296,6 +296,45 @@ def test_graph_patterns(spark):
             SELECT ?s WHERE { GRAPH ?g { ?s ex:p ?o . } }""").collect()
 
 
+def test_minus(g):
+    # persons except those who know someone
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          MINUS { ?p ex:knows ?x . }
+        }"""))
+    assert got == {(E + "carol",)}
+    # MINUS group with its own filter
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          MINUS { ?p ex:age ?a . FILTER (?a > 10) }
+        }"""))
+    assert got == {(E + "alice",), (E + "carol",)}
+
+
+def test_minus_disjoint_domain_removes_nothing(g):
+    # spec §8.3.3: no shared variable -> MINUS removes nothing
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          MINUS { ?q a ex:Animal . }
+        }"""))
+    assert got == {(E + "alice",), (E + "bob",), (E + "carol",)}
+
+
+def test_minus_keeps_outer_nulls(g):
+    # carol's ?a is null from the OPTIONAL; null shared vars are
+    # never removed by MINUS (unbound -> not in the binding's domain)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:age ?a }
+          MINUS { ?p2 ex:age ?a . FILTER (?a > 10) }
+        }"""))
+    assert got == {(E + "alice",), (E + "carol",)}
+
+
 def test_syntax_errors(g):
     for bad, why in [
         ("SELECT ?x WHERE { }", "empty group"),
@@ -308,6 +347,12 @@ def test_syntax_errors(g):
         (PFX + "SELECT ?x WHERE { ?x ex:p ?y . } GARBAGE", "trailing"),
         (PFX + "SELECT ?x WHERE { ?x ex:p ?y . UNION { ?x ex:q ?y } }",
          "UNION out of subset"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . "
+         "OPTIONAL { ?x ex:q ?z . MINUS { ?x ex:r ?w } } }",
+         "MINUS inside OPTIONAL"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . "
+         "MINUS { ?x ex:q ?z . MINUS { ?x ex:r ?w } } }",
+         "MINUS inside MINUS"),
     ]:
         with pytest.raises((SparqlSyntaxError, ValueError)):
             sparql_select(g, bad).collect(), why
