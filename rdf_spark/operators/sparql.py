@@ -21,6 +21,9 @@ the DataFrame calls by hand:
 - VALUES             -> broadcast inline-binding join (UNDEF -> null),
 - MINUS { ... }      -> left-anti equi-join on the shared variables
   (disjoint-domain MINUS removes nothing, per spec §8.3.3),
+- FILTER [NOT] EXISTS { ... } -> left-semi / left-anti equi-join;
+  with no shared variable the pattern is one scalar fact, probed via
+  a 1-row broadcast left join (never a data-sized cross join),
 - GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX (AS ?alias)
                      -> groupBy.agg (map-side partial combine),
 - BIND(expr AS ?v)   -> withColumn, HAVING -> post-aggregate filter,
@@ -42,7 +45,8 @@ Semantics notes (documented contracts, mirrored by the test oracles):
 - GRAPH <iri>/?g { patterns } -> graph-position constants/variables
   on quad tables (union-default-graph semantics for patterns outside
   GRAPH, the common store configuration; paths inside GRAPH raise).
-- MINUS compares shared variables null-strictly: an outer row whose
+- MINUS and [NOT] EXISTS compare shared variables null-strictly: an
+  outer row whose
   shared variable is null (from an OPTIONAL) is never removed.  The
   spec removes it when the REMAINING shared variables match and at
   least one is bound on both sides; that partial-unbound case would
@@ -406,7 +410,8 @@ class _Parser:
         ``(var_names, rows)`` inline-binding tables."""
         self.expect_punct("{")
         g = {"patterns": [], "filters": [], "optionals": [],
-             "unions": [], "values": [], "binds": [], "minuses": []}
+             "unions": [], "values": [], "binds": [], "minuses": [],
+             "exists": []}
         while True:
             kind, val = self.peek()
             if (kind, val) == ("PUNCT", "}"):
@@ -428,6 +433,20 @@ class _Parser:
                 continue
             if kind == "KW" and val.upper() == "FILTER":
                 self.take()
+                nk, nv = self.peek()
+                if nk == "KW" and nv.upper() in ("EXISTS", "NOT"):
+                    positive = nv.upper() == "EXISTS"
+                    self.take()
+                    if not positive:
+                        self.expect_kw("EXISTS")
+                    inner = self.group()
+                    if inner["optionals"] or inner["unions"] or \
+                            inner["minuses"] or inner["exists"]:
+                        raise SparqlSyntaxError(
+                            "nested OPTIONAL/UNION/MINUS/EXISTS inside "
+                            "EXISTS unsupported")
+                    g["exists"].append((positive, inner))
+                    continue
                 self.expect_punct("(")
                 g["filters"].append(self._or_expr())
                 self.expect_punct(")")
@@ -436,10 +455,10 @@ class _Parser:
                 self.take()
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
-                        inner["minuses"]:
+                        inner["minuses"] or inner["exists"]:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL/UNION/MINUS inside OPTIONAL "
-                        "unsupported")
+                        "nested OPTIONAL/UNION/MINUS/EXISTS inside "
+                        "OPTIONAL unsupported")
                 g["optionals"].append(inner)
                 continue
             if kind == "KW" and val.upper() == "VALUES":
@@ -469,7 +488,7 @@ class _Parser:
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
                         inner["values"] or inner["binds"] or \
-                        inner["minuses"]:
+                        inner["minuses"] or inner["exists"]:
                     raise SparqlSyntaxError(
                         "only triple patterns and FILTER inside GRAPH")
                 g["patterns"].extend(
@@ -479,9 +498,10 @@ class _Parser:
             if kind == "KW" and val.upper() == "MINUS":
                 self.take()
                 inner = self.group()
-                if inner["optionals"] or inner["unions"] or inner["minuses"]:
+                if inner["optionals"] or inner["unions"] or \
+                        inner["minuses"] or inner["exists"]:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL/UNION/MINUS inside MINUS "
+                        "nested OPTIONAL/UNION/MINUS/EXISTS inside MINUS "
                         "unsupported")
                 g["minuses"].append(inner)
                 continue
@@ -719,6 +739,21 @@ def _compile_group(triples: DataFrame, g: dict,
             continue
         out = out.join(inner.select(*shared).dropna(how="any"),
                        on=shared, how="left_anti")
+    for positive, e in g["exists"]:
+        inner = _compile_group(triples, e, path_max_rounds, keep_kinds)
+        shared = sorted(set(out.columns) & set(inner.columns))
+        if shared:
+            out = out.join(inner.select(*shared).dropna(how="any"),
+                           on=shared,
+                           how="left_semi" if positive else "left_anti")
+            continue
+        # no shared variable: EXISTS is one scalar fact ("does the
+        # pattern match AT ALL") — probe with a 1-row broadcast left
+        # join, never a data-sized cross join
+        probe = F.broadcast(inner.limit(1).select(F.lit(1).alias("__e")))
+        out = out.join(probe, F.lit(True), "left")
+        out = out.where(F.col("__e").isNotNull() if positive
+                        else F.col("__e").isNull()).drop("__e")
     # group-scope FILTERs apply over the whole group INCLUDING
     # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);
     # Catalyst pushes outer-column-only predicates back below the

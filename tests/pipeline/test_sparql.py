@@ -335,6 +335,48 @@ def test_minus_keeps_outer_nulls(g):
     assert got == {(E + "alice",), (E + "carol",)}
 
 
+def test_filter_exists(g):
+    # persons who know someone (semi join)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER EXISTS { ?p ex:knows ?x . }
+        }"""))
+    assert got == {(E + "alice",), (E + "bob",)}
+    # NOT EXISTS (anti join) with an inner filter
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER NOT EXISTS { ?p ex:age ?a . FILTER (?a > 10) }
+        }"""))
+    assert got == {(E + "alice",), (E + "carol",)}
+
+
+def test_exists_disjoint_is_scalar_probe(g):
+    # unlike MINUS, a disjoint-domain NOT EXISTS removes EVERYTHING
+    # when the pattern matches at all ...
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER NOT EXISTS { ?q a ex:Animal . }
+        }"""))
+    assert got == set()
+    # ... and keeps everything when it never matches
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          FILTER NOT EXISTS { ?q a ex:Robot . }
+        }"""))
+    assert got == {(E + "alice",), (E + "bob",), (E + "carol",)}
+    # disjoint EXISTS: matching pattern keeps all rows
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Animal .
+          FILTER EXISTS { ?q ex:age ?a . }
+        }"""))
+    assert got == {(E + "dog",)}
+
+
 def test_syntax_errors(g):
     for bad, why in [
         ("SELECT ?x WHERE { }", "empty group"),
@@ -353,6 +395,11 @@ def test_syntax_errors(g):
         (PFX + "SELECT ?x WHERE { ?x ex:p ?y . "
          "MINUS { ?x ex:q ?z . MINUS { ?x ex:r ?w } } }",
          "MINUS inside MINUS"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . FILTER EXISTS { "
+         "?x ex:q ?z . OPTIONAL { ?x ex:r ?w } } }",
+         "OPTIONAL inside EXISTS"),
+        (PFX + "SELECT ?x WHERE { ?x ex:p ?y . FILTER NOT { } }",
+         "NOT without EXISTS"),
     ]:
         with pytest.raises((SparqlSyntaxError, ValueError)):
             sparql_select(g, bad).collect(), why
