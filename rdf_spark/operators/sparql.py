@@ -53,7 +53,11 @@ Semantics notes (documented contracts, mirrored by the test oracles):
   need a non-equi anti-join (quadratic at scale), so the subset
   documents the deviation instead.  Fully-disjoint domains follow the
   spec exactly (nothing removed).
-- Unsupported SPARQL (subqueries, SERVICE) raises
+- { SELECT ... } subqueries -> the sub-select compiles to its own
+  DataFrame (aggregates, DISTINCT, ORDER/LIMIT all apply inside),
+  then equi-joins into the enclosing group on its projected
+  variables (bottom-up evaluation per spec §12).
+- Unsupported SPARQL (SERVICE) raises
   :class:`SparqlSyntaxError` — never silently wrong.
 
 Scale shape: the compiled plan is exactly the hand-written one — no
@@ -411,13 +415,21 @@ class _Parser:
         self.expect_punct("{")
         g = {"patterns": [], "filters": [], "optionals": [],
              "unions": [], "values": [], "binds": [], "minuses": [],
-             "exists": []}
+             "exists": [], "subqueries": []}
         while True:
             kind, val = self.peek()
             if (kind, val) == ("PUNCT", "}"):
                 self.take()
                 return g
             if (kind, val) == ("PUNCT", "{"):
+                nk, nv = self.peek(1)
+                if nk == "KW" and nv.upper() == "SELECT":
+                    # { SELECT ... } subquery: evaluated bottom-up,
+                    # joined into the group on its projected variables
+                    self.take()
+                    g["subqueries"].append(self.select_body())
+                    self.expect_punct("}")
+                    continue
                 # { A } UNION { B } [UNION { C } ...]
                 alts = [self.group()]
                 while self.kw("UNION"):
@@ -441,10 +453,11 @@ class _Parser:
                         self.expect_kw("EXISTS")
                     inner = self.group()
                     if inner["optionals"] or inner["unions"] or \
-                            inner["minuses"] or inner["exists"]:
+                            inner["minuses"] or inner["exists"] or \
+                            inner["subqueries"]:
                         raise SparqlSyntaxError(
-                            "nested OPTIONAL/UNION/MINUS/EXISTS inside "
-                            "EXISTS unsupported")
+                            "nested OPTIONAL/UNION/MINUS/EXISTS/subquery "
+                            "inside EXISTS unsupported")
                     g["exists"].append((positive, inner))
                     continue
                 self.expect_punct("(")
@@ -455,10 +468,11 @@ class _Parser:
                 self.take()
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
-                        inner["minuses"] or inner["exists"]:
+                        inner["minuses"] or inner["exists"] or \
+                        inner["subqueries"]:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL/UNION/MINUS/EXISTS inside "
-                        "OPTIONAL unsupported")
+                        "nested OPTIONAL/UNION/MINUS/EXISTS/subquery "
+                        "inside OPTIONAL unsupported")
                 g["optionals"].append(inner)
                 continue
             if kind == "KW" and val.upper() == "VALUES":
@@ -488,7 +502,8 @@ class _Parser:
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
                         inner["values"] or inner["binds"] or \
-                        inner["minuses"] or inner["exists"]:
+                        inner["minuses"] or inner["exists"] or \
+                        inner["subqueries"]:
                     raise SparqlSyntaxError(
                         "only triple patterns and FILTER inside GRAPH")
                 g["patterns"].extend(
@@ -499,10 +514,11 @@ class _Parser:
                 self.take()
                 inner = self.group()
                 if inner["optionals"] or inner["unions"] or \
-                        inner["minuses"] or inner["exists"]:
+                        inner["minuses"] or inner["exists"] or \
+                        inner["subqueries"]:
                     raise SparqlSyntaxError(
-                        "nested OPTIONAL/UNION/MINUS/EXISTS inside MINUS "
-                        "unsupported")
+                        "nested OPTIONAL/UNION/MINUS/EXISTS/subquery "
+                        "inside MINUS unsupported")
                 g["minuses"].append(inner)
                 continue
             if kind == "KW" and val.upper() == "SERVICE":
@@ -592,6 +608,16 @@ class _Parser:
 
     def query(self):
         self.prologue()
+        parsed = self.select_body()
+        if self.peek()[0] != "EOF":
+            raise SparqlSyntaxError(
+                f"trailing input at {self.peek()[1]!r}")
+        return parsed
+
+    def select_body(self):
+        """SELECT ... WHERE {...} [solution modifiers] — shared by the
+        top-level query and ``{ SELECT ... }`` subqueries (the caller
+        checks the terminator: EOF vs ``}``)."""
         self.expect_kw("SELECT")
         distinct = self.kw("DISTINCT")
         select_items = []  # ('var', name) | ('agg', fn, distinct, var, alias)
@@ -673,9 +699,6 @@ class _Parser:
                 limit = int(self.take()[1])
             elif self.kw("OFFSET"):
                 offset = int(self.take()[1])
-        if self.peek()[0] != "EOF":
-            raise SparqlSyntaxError(
-                f"trailing input at {self.peek()[1]!r}")
         return (distinct, select_items, where, group_by, having,
                 order, limit, offset)
 
@@ -695,6 +718,21 @@ def _compile_group(triples: DataFrame, g: dict,
         out = alts[0]
         for alt in alts[1:]:
             out = out.unionByName(alt, allowMissingColumns=True)
+    for sq in g["subqueries"]:
+        # bottom-up: the sub-select is a complete query over the same
+        # graph; its projected columns are the join surface
+        sub = _apply_select(
+            _compile_group(triples, sq[2], path_max_rounds, keep_kinds),
+            sq)
+        if out is None:
+            out = sub
+            continue
+        shared = sorted(set(out.columns) & set(sub.columns))
+        if not shared:
+            raise SparqlSyntaxError(
+                "subquery shares no variable with the group "
+                "(would be a cross join)")
+        out = out.join(sub, on=shared)
     if g["patterns"]:
         bgp = bgp_match(triples, g["patterns"],
                         path_max_rounds=path_max_rounds,
@@ -787,9 +825,17 @@ def sparql_select(
     orderBy chain, so aggregation gets map-side partial combine and
     ORDER+LIMIT collapse to TakeOrderedAndProject for free.
     """
-    (distinct, select_items, where, group_by, having, order,
-     limit, offset) = _Parser(query).query()
-    out = _compile_group(triples, where, path_max_rounds)
+    parsed = _Parser(query).query()
+    out = _compile_group(triples, parsed[2], path_max_rounds)
+    return _apply_select(out, parsed)
+
+
+def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
+    """Apply a parsed SELECT body (projection, aggregates, solution
+    modifiers) to compiled WHERE bindings — shared by the top-level
+    query and ``{ SELECT ... }`` subqueries."""
+    (distinct, select_items, _where, group_by, having, order,
+     limit, offset) = parsed
 
     aggs = [it for it in select_items if it[0] == "agg"]
     plain = [it[1] for it in select_items if it[0] == "var"]

@@ -377,6 +377,41 @@ def test_exists_disjoint_is_scalar_probe(g):
     assert got == {(E + "dog",)}
 
 
+def test_subquery(g):
+    # aggregate subquery joined back on ?p: knows-count per person
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?k WHERE {
+          ?p ex:name ?n .
+          { SELECT ?p (COUNT(?x) AS ?k) WHERE { ?p ex:knows ?x . }
+            GROUP BY ?p }
+        }"""))
+    assert got == {("Alice", 1), ("Bob", 1)}
+    # LIMIT applies INSIDE the subquery (before the outer join)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE {
+          ?p ex:name ?n .
+          { SELECT ?p WHERE { ?p ex:age ?a . }
+            ORDER BY DESC(?a) LIMIT 1 }
+        }"""))
+    # lexical DESC over {"9","40"}: "9" sorts first
+    assert got == {("Alice",)}
+    # subquery as the whole group body
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?c WHERE {
+          { SELECT (COUNT(?p) AS ?c) WHERE { ?p a ex:Person . } }
+        }"""))
+    assert got == {(3,)}
+
+
+def test_subquery_cross_join_guard(g):
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT ?n WHERE {
+              ?p ex:name ?n .
+              { SELECT ?q WHERE { ?q a ex:Animal . } }
+            }""").collect()
+
+
 def test_syntax_errors(g):
     for bad, why in [
         ("SELECT ?x WHERE { }", "empty group"),
