@@ -736,6 +736,29 @@ def q_kg_sparql_select(spark, sf_dir):
         }""")
 
 
+def q_kg_sparql_analytics(spark, sf_dir):
+    """Round-4 SPARQL algebra additions under one hard gate: a
+    { SELECT ... } aggregate subquery (nations per region, map-side
+    partial count), FILTER EXISTS (left-semi: region has an 'A'
+    nation) and MINUS (left-anti: drop regions holding a long-named
+    nation) — all equi-joins on ?r, no cartesian anywhere
+    (operators/sparql.py). Oracle replays the algebra as correlated
+    EXISTS/NOT EXISTS SQL over nation."""
+    from rdf_spark.operators.sparql import sparql_select
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return sparql_select(t, """
+        PREFIX ex: <http://ex/>
+        SELECT ?r ?cnt WHERE {
+          { SELECT ?r (COUNT(?n) AS ?cnt) WHERE { ?n ex:inRegion ?r . }
+            GROUP BY ?r }
+          FILTER EXISTS { ?m ex:inRegion ?r ; ex:name ?nm .
+                          FILTER (CONTAINS(?nm, "A")) }
+          MINUS { ?b ex:inRegion ?r ; ex:name ?bn .
+                  FILTER (STRLEN(?bn) > 12) }
+        }""")
+
+
 def q_kg_construct_transform(spark, sf_dir):
     """SPARQL CONSTRUCT as graph transformation: re-express the nation
     KG in a target vocabulary (Place/located/label) — one array-explode
@@ -1666,6 +1689,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # slots come from emb_ivf_topk and web_url_normalize (green
         # r3 / triple-green, tail below)
         "kg_sparql_select": q_kg_sparql_select,
+        # late-round-4 SPARQL algebra (subquery + EXISTS + MINUS); its
+        # head-50 slot comes from emb_topk_cosine (green r3, the
+        # declared exact crossJoin baseline — tail below, still
+        # locally oracled by test_entry_contract)
+        "kg_sparql_analytics": q_kg_sparql_analytics,
         "kg_construct_transform": q_kg_construct_transform,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
@@ -2263,6 +2291,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN n_regionkey % 2 = 0 THEN r_name END AS rlabel
             FROM nation LEFT JOIN region ON r_regionkey = n_regionkey
             WHERE contains(n_name, 'A') OR length(n_name) <= 6
+        """,
+        # kg_sparql_analytics: subquery -> GROUP BY, FILTER EXISTS ->
+        # correlated EXISTS, MINUS -> correlated NOT EXISTS (shared
+        # variable is ?r on both sides, so anti-join == NOT EXISTS)
+        "kg_sparql_analytics": """
+            WITH per AS (
+                SELECT 'http://ex/r' || n_regionkey AS r,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM nation GROUP BY 1)
+            SELECT r, cnt FROM per
+            WHERE EXISTS (SELECT 1 FROM nation m
+                          WHERE 'http://ex/r' || m.n_regionkey = per.r
+                            AND contains(m.n_name, 'A'))
+              AND NOT EXISTS (SELECT 1 FROM nation b
+                              WHERE 'http://ex/r' || b.n_regionkey = per.r
+                                AND length(b.n_name) > 12)
         """,
         # kg_construct_transform: the CONSTRUCT template instantiated
         # per nation row — type triple (IRI object, kind 0), located
