@@ -24,8 +24,11 @@ the DataFrame calls by hand:
 - FILTER [NOT] EXISTS { ... } -> left-semi / left-anti equi-join;
   with no shared variable the pattern is one scalar fact, probed via
   a 1-row broadcast left join (never a data-sized cross join),
-- GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX (AS ?alias)
-                     -> groupBy.agg (map-side partial combine),
+- GROUP BY + COUNT/COUNT(DISTINCT)/SUM/AVG/MIN/MAX/SAMPLE/
+  GROUP_CONCAT(...; SEPARATOR="..") (AS ?alias)
+                     -> groupBy.agg (map-side partial combine;
+  GROUP_CONCAT sorts collected values for determinism, SAMPLE = min),
+- FILTER ?x [NOT] IN (term, ...) -> Column.isin over constant terms,
 - BIND(expr AS ?v)   -> withColumn, HAVING -> post-aggregate filter,
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
 - CONSTRUCT { template } -> a new triple table via one array-explode
@@ -272,6 +275,25 @@ class _Parser:
     def _relational(self) -> Column:
         left, left_num = self._operand()
         kind, val = self.peek()
+        if kind == "KW" and val.upper() in ("IN", "NOT"):
+            neg = val.upper() == "NOT"
+            self.take()
+            if neg:
+                self.expect_kw("IN")
+            self.expect_punct("(")
+            items = []
+            while self.peek() != ("PUNCT", ")"):
+                item, _ = self._operand()
+                if isinstance(item, Column):
+                    raise SparqlSyntaxError(
+                        "IN list must be constant terms in this subset")
+                items.append(item)
+                if self.peek() == ("PUNCT", ","):
+                    self.take()
+            self.take()
+            col = left if isinstance(left, Column) else F.lit(left)
+            expr = col.isin(items)
+            return ~expr if neg else expr
         if kind == "PUNCT" and val in ("=", "!=", "<", "<=", ">", ">="):
             self.take()
             right, right_num = self._operand()
@@ -634,7 +656,8 @@ class _Parser:
                     fkind, fval = self.take()
                     fn = fval.upper()
                     if fkind != "KW" or fn not in (
-                            "COUNT", "SUM", "AVG", "MIN", "MAX"):
+                            "COUNT", "SUM", "AVG", "MIN", "MAX",
+                            "GROUP_CONCAT", "SAMPLE"):
                         raise SparqlSyntaxError(
                             f"unsupported aggregate {fval!r}")
                     self.expect_punct("(")
@@ -650,6 +673,17 @@ class _Parser:
                             raise SparqlSyntaxError(
                                 "aggregate needs a variable or *")
                         var = vval[1:]
+                    sep = " "  # spec default separator
+                    if fn == "GROUP_CONCAT" and \
+                            self.peek() == ("PUNCT", ";"):
+                        self.take()
+                        self.expect_kw("SEPARATOR")
+                        self.expect_punct("=")
+                        skind, sval = self.take()
+                        if skind != "STRING":
+                            raise SparqlSyntaxError(
+                                "SEPARATOR needs a string")
+                        sep = _unquote(sval)
                     self.expect_punct(")")
                     self.expect_kw("AS")
                     akind, aval = self.take()
@@ -657,7 +691,7 @@ class _Parser:
                         raise SparqlSyntaxError("AS needs a variable")
                     self.expect_punct(")")
                     select_items.append(("agg", fn, agg_distinct, var,
-                                         aval[1:]))
+                                         aval[1:], sep))
                 else:
                     break
             if not select_items:
@@ -847,14 +881,26 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
             raise SparqlSyntaxError(
                 f"non-grouped variables in aggregate SELECT: {bad}")
         exprs = []
-        for _, fn, agg_distinct, var, alias in aggs:
+        for _, fn, agg_distinct, var, alias, sep in aggs:
             if var is None:  # COUNT(*)
                 col = F.lit(1)
             else:
                 if var not in out.columns:
                     raise SparqlSyntaxError(f"unbound variable ?{var}")
                 col = F.col(var)
-            if agg_distinct:
+            if fn == "GROUP_CONCAT":
+                # the spec leaves concatenation order undefined; sort
+                # the collected values so the result is deterministic
+                # (and oracle-replayable with string_agg ORDER BY)
+                vals = F.collect_list(col)
+                if agg_distinct:
+                    vals = F.array_distinct(vals)
+                expr = F.array_join(F.sort_array(vals), sep)
+            elif fn == "SAMPLE":
+                # any value is a valid SAMPLE; min is the
+                # deterministic choice
+                expr = F.min(col)
+            elif agg_distinct:
                 if fn != "COUNT":
                     raise SparqlSyntaxError(
                         f"{fn}(DISTINCT) not in subset")

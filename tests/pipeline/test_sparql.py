@@ -403,6 +403,38 @@ def test_subquery(g):
     assert got == {(3,)}
 
 
+def test_group_concat_sample_and_in(g):
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p (GROUP_CONCAT(?n; SEPARATOR="|") AS ?names) WHERE {
+          ?p ex:knows ?q . ?q ex:name ?n .
+        } GROUP BY ?p"""))
+    assert got == {(E + "alice", "Bob"), (E + "bob", "carol lower")}
+    # GROUP_CONCAT sorts collected values -> deterministic
+    got = rows(sparql_select(g, PFX + """
+        SELECT (GROUP_CONCAT(?n; SEPARATOR=",") AS ?all) WHERE {
+          ?p a ex:Person ; ex:name ?n .
+        }"""))
+    assert got == {("Alice,Bob,carol lower",)}
+    # SAMPLE = deterministic min
+    got = rows(sparql_select(g, PFX + """
+        SELECT (SAMPLE(?n) AS ?one) WHERE { ?p ex:name ?n . }"""))
+    assert got == {("Alice",)}
+    # IN / NOT IN over constant terms
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n .
+          FILTER (?n IN ("Alice", "Rex")) }"""))
+    assert got == {("Alice",), ("Rex",)}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE { ?p a ex:Person ; ex:name ?n .
+          FILTER (?n NOT IN ("Alice", "Bob")) }"""))
+    assert got == {(E + "carol",)}
+    # IN over IRIs in subject position
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n .
+          FILTER (?p IN (ex:dog)) }"""))
+    assert got == {("Rex",)}
+
+
 def test_subquery_cross_join_guard(g):
     with pytest.raises(SparqlSyntaxError):
         sparql_select(g, PFX + """
