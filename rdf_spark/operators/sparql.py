@@ -34,7 +34,10 @@ the DataFrame calls by hand:
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
 - ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
-  symmetric CBD (:func:`sparql_describe`).
+  symmetric CBD (:func:`sparql_describe`),
+- UPDATE (:func:`sparql_update`): INSERT DATA / DELETE DATA /
+  DELETE-INSERT-WHERE as functional snapshot transforms (anti-join
+  deletes + unionByName inserts over ONE shared bindings pass).
 
 Semantics notes (documented contracts, mirrored by the test oracles):
 
@@ -962,10 +965,19 @@ def sparql_construct(
     into an object keeps its lexical form but drops datatype/lang —
     documented limitation).
     """
-    from ..terms import KIND_IRI, KIND_LITERAL
-
     template, where, limit = _Parser(query).construct_query()
     b = _compile_group(triples, where, path_max_rounds, keep_kinds=True)
+    out = _instantiate(b, template)
+    return out.limit(limit) if limit is not None else out
+
+
+def _instantiate(b: DataFrame, template) -> DataFrame:
+    """Instantiate a tagged (s, p, o) template over bindings ``b`` ->
+    a deduplicated 7-column triple table (ONE explode pass; invalid
+    instantiations nulled in place per SPARQL 1.1 §16.2 — shared by
+    CONSTRUCT and the UPDATE forms)."""
+    from ..terms import KIND_IRI, KIND_LITERAL
+
     cols = set(b.columns)
 
     null_s = F.lit(None).cast("string")
@@ -1016,14 +1028,83 @@ def sparql_construct(
             o_lang.alias("obj_lang"),
         )))
     arr = F.filter(F.array(*structs), lambda x: x.isNotNull())
-    out = (
+    return (
         b.select(F.explode(arr).alias("t"))
         .select([F.col(f"t.{c}").alias(c) for c in (
             "subj_kind", "subj", "pred", "obj_kind", "obj_lex",
             "obj_datatype", "obj_lang")])
         .distinct()
     )
-    return out.limit(limit) if limit is not None else out
+
+
+def sparql_update(
+    triples: DataFrame, update: str, path_max_rounds: int = 16
+) -> DataFrame:
+    """Apply a SPARQL UPDATE operation -> a NEW triple table (the
+    input is never mutated — functional semantics matching Spark
+    immutability and the Iceberg snapshot model; the caller writes
+    the result as the next snapshot).
+
+    Forms (one operation per call; ``;``-sequences out of subset):
+
+    - ``INSERT DATA { constant triples }`` -> unionByName append,
+    - ``DELETE DATA { constant triples }`` -> left-anti equi-join on
+      (subj, pred, obj_lex) — lexical-form matching, the engine's
+      documented equality,
+    - ``[DELETE { template }] [INSERT { template }] WHERE { group }``
+      -> the WHERE bindings are computed ONCE against the ORIGINAL
+      graph (spec §3.1.3 evaluation order), both templates
+      instantiate via the shared CONSTRUCT kernel (one explode pass
+      each), deletes apply before inserts.
+
+    Inserted rows carry null url/graph provenance columns (they were
+    never parsed from a page); deletes remove ALL equal rows (set
+    semantics, reference Graph.Remove graph.go:41-48 — production
+    target is an Iceberg MERGE row-level delete).
+    """
+    from .graphops import add, remove
+
+    p = _Parser(update)
+    p.prologue()
+
+    def const_triples(tmpl):
+        if any(tag == "var" for s, pr, o in tmpl for tag, _ in (s, pr, o)):
+            raise SparqlSyntaxError(
+                "INSERT/DELETE DATA cannot contain variables")
+        return _instantiate(triples.sparkSession.range(1), tmpl)
+
+    def end():
+        if p.peek()[0] != "EOF":
+            raise SparqlSyntaxError(f"trailing input at {p.peek()[1]!r}")
+
+    ins = dele = None
+    if p.kw("INSERT"):
+        if p.kw("DATA"):
+            tmpl = p.template()
+            end()
+            return add(triples, const_triples(tmpl))
+        ins = p.template()
+    elif p.kw("DELETE"):
+        if p.kw("DATA"):
+            tmpl = p.template()
+            end()
+            return remove(triples, const_triples(tmpl))
+        dele = p.template()
+        if p.kw("INSERT"):
+            ins = p.template()
+    else:
+        raise SparqlSyntaxError(
+            f"expected INSERT or DELETE, got {p.peek()[1]!r}")
+    p.expect_kw("WHERE")
+    where = p.group()
+    end()
+    b = _compile_group(triples, where, path_max_rounds, keep_kinds=True)
+    out = triples
+    if dele is not None:
+        out = remove(out, _instantiate(b, dele))
+    if ins is not None:
+        out = add(out, _instantiate(b, ins))
+    return out
 
 
 def sparql_ask(

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from rdf_spark.operators.sparql import (
     RDF_TYPE, SparqlSyntaxError, sparql_ask, sparql_construct,
-    sparql_describe, sparql_select,
+    sparql_describe, sparql_select, sparql_update,
 )
 from rdf_spark.terms import KIND_IRI, KIND_LITERAL
 
@@ -442,6 +442,65 @@ def test_subquery_cross_join_guard(g):
               ?p ex:name ?n .
               { SELECT ?q WHERE { ?q a ex:Animal . } }
             }""").collect()
+
+
+def spo(df):
+    return {tuple(r) for r in df.select("subj", "pred", "obj_lex").collect()}
+
+
+def test_update_insert_delete_data(g):
+    out = sparql_update(g, PFX + """
+        INSERT DATA { ex:eve a ex:Person ; ex:name "Eve" . }""")
+    assert (E + "eve", RDF_TYPE, E + "Person") in spo(out)
+    assert (E + "eve", E + "name", "Eve") in spo(out)
+    assert out.count() == g.count() + 2
+    # inserted rows carry kind metadata (IRI vs literal objects)
+    kinds = {r["obj_lex"]: r["obj_kind"] for r in
+             out.where(F.col("subj") == E + "eve").collect()}
+    assert kinds == {E + "Person": KIND_IRI, "Eve": KIND_LITERAL}
+    # the input is untouched (functional semantics)
+    assert g.count() == 12
+
+    out = sparql_update(g, PFX + """
+        DELETE DATA { ex:dog ex:name "Rex" . }""")
+    assert (E + "dog", E + "name", "Rex") not in spo(out)
+    assert out.count() == g.count() - 1
+
+
+def test_update_delete_insert_where(g):
+    # rename the predicate ex:name -> ex:label for Persons only
+    out = sparql_update(g, PFX + """
+        DELETE { ?p ex:name ?n . }
+        INSERT { ?p ex:label ?n . }
+        WHERE { ?p a ex:Person ; ex:name ?n . }""")
+    s = spo(out)
+    assert (E + "alice", E + "label", "Alice") in s
+    assert (E + "alice", E + "name", "Alice") not in s
+    # the Animal keeps its ex:name (WHERE restricted to Persons)
+    assert (E + "dog", E + "name", "Rex") in s
+    assert out.count() == g.count()
+    # insert-only form
+    out = sparql_update(g, PFX + """
+        INSERT { ?p a ex:Agent . } WHERE { ?p a ex:Person . }""")
+    assert (E + "carol", RDF_TYPE, E + "Agent") in spo(out)
+    assert out.count() == g.count() + 3
+    # delete-only form with a filter
+    out = sparql_update(g, PFX + """
+        DELETE { ?p ex:age ?a . }
+        WHERE { ?p ex:age ?a . FILTER (?a > 10) }""")
+    s = spo(out)
+    assert (E + "bob", E + "age", "40") not in s
+    assert (E + "alice", E + "age", "9") in s
+
+
+def test_update_syntax_errors(g):
+    for bad in [
+        PFX + "INSERT DATA { ?v ex:p ex:o . }",   # variable in DATA
+        PFX + "DELETE { ?p ex:name ?n . }",        # missing WHERE
+        PFX + "COPY DEFAULT TO ex:g",              # out of subset
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            sparql_update(g, bad).collect()
 
 
 def test_syntax_errors(g):
