@@ -759,6 +759,23 @@ def q_kg_sparql_analytics(spark, sf_dir):
         }""")
 
 
+def q_kg_sparql_update(spark, sf_dir):
+    """SPARQL UPDATE as a snapshot transform (operators/sparql.py
+    sparql_update): rename ex:name -> ex:label across the parsed
+    nation KG in one DELETE/INSERT-WHERE — bindings once against the
+    original graph, left-anti delete + unionByName insert. Oracle
+    replays the rename over the generation rules."""
+    from rdf_spark.operators.sparql import sparql_update
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    out = sparql_update(t, """
+        PREFIX ex: <http://ex/>
+        DELETE { ?n ex:name ?v . }
+        INSERT { ?n ex:label ?v . }
+        WHERE { ?n a ex:Nation ; ex:name ?v . }""")
+    return out.select("subj", "pred", "obj_lex")
+
+
 def q_kg_construct_transform(spark, sf_dir):
     """SPARQL CONSTRUCT as graph transformation: re-express the nation
     KG in a target vocabulary (Place/located/label) — one array-explode
@@ -1694,6 +1711,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # declared exact crossJoin baseline — tail below, still
         # locally oracled by test_entry_contract)
         "kg_sparql_analytics": q_kg_sparql_analytics,
+        # late-round-4 SPARQL UPDATE hard gate; slot from
+        # rdf_parse_star_nq (green r3 + the full 85/85 W3C NQ and
+        # RDF-star conformance suites — tail below)
+        "kg_sparql_update": q_kg_sparql_update,
         "kg_construct_transform": q_kg_construct_transform,
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
@@ -1701,7 +1722,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
         "rdf_parse_trig": q_rdf_parse_trig,
-        "rdf_parse_star_nq": q_rdf_parse_star_nq,
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "web_page_metadata": q_web_page_metadata,
@@ -1741,6 +1761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": q_doc_quality,
         "rdf_triple_pattern": q_rdf_triple_pattern,
         "rdf_parse_star": q_rdf_parse_star,
+        "rdf_parse_star_nq": q_rdf_parse_star_nq,
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         "doc_minhash": q_doc_minhash,
@@ -2307,6 +2328,20 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM nation b
                               WHERE 'http://ex/r' || b.n_regionkey = per.r
                                 AND length(b.n_name) > 12)
+        """,
+        # kg_sparql_update: the nation generation rules with ex:name
+        # renamed to ex:label (DELETE/INSERT-WHERE replay)
+        "kg_sparql_update": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj,
+                   '{RDF_TYPE}' AS pred,
+                   'http://ex/Nation' AS obj_lex
+            FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/label',
+                   n_name FROM nation
+            UNION ALL
+            SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
+                   'http://ex/r' || n_regionkey FROM nation
         """,
         # kg_construct_transform: the CONSTRUCT template instantiated
         # per nation row — type triple (IRI object, kind 0), located
