@@ -1744,7 +1744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
         "doc_ngram_jaccard": q_doc_ngram_jaccard,
         "doc_dup_clusters": q_doc_dup_clusters,
-        "emb_topk_cosine": q_emb_topk_cosine,
         # --- 50-entry driver cap ends here; tail entries below are
         # redundant with earlier rows, rows-only, or double-green in
         # r02+r03 driver records (rotated out in round 4:
@@ -1755,6 +1754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # emb_lsh_topk_probe2 / doc_remove_dup_spans /
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
+        "emb_topk_cosine": q_emb_topk_cosine,
         "tpch_q1_like": q_tpch_q1_like,
         "web_url_normalize": q_web_url_normalize,
         "emb_ivf_topk": q_emb_ivf_topk,

@@ -51,14 +51,18 @@ Semantics notes (documented contracts, mirrored by the test oracles):
 - GRAPH <iri>/?g { patterns } -> graph-position constants/variables
   on quad tables (union-default-graph semantics for patterns outside
   GRAPH, the common store configuration; paths inside GRAPH raise).
-- MINUS and [NOT] EXISTS compare shared variables null-strictly: an
-  outer row whose
-  shared variable is null (from an OPTIONAL) is never removed.  The
-  spec removes it when the REMAINING shared variables match and at
-  least one is bound on both sides; that partial-unbound case would
-  need a non-equi anti-join (quadratic at scale), so the subset
-  documents the deviation instead.  Fully-disjoint domains follow the
-  spec exactly (nothing removed).
+- MINUS compares shared variables null-strictly: an outer row whose
+  shared variable is null (OPTIONAL-sourced) is never removed — the
+  spec's domain-intersection rule agrees when that is the only shared
+  variable; the partially-bound multi-variable case would need a
+  non-equi anti-join (quadratic at scale), so the subset documents
+  the deviation instead.  Fully-disjoint domains follow the spec
+  exactly (nothing removed).
+- [NOT] EXISTS routes rows whose shared variable is null through the
+  unconstrained 1-row probe (an unbound variable stays free inside
+  EXISTS, so the pattern matches iff it matches at all) — exact for
+  one shared variable; for partially-bound multi-variable rows the
+  probe ignores the still-bound variables (documented deviation).
 - { SELECT ... } subqueries -> the sub-select compiles to its own
   DataFrame (aggregates, DISTINCT, ORDER/LIMIT all apply inside),
   then equi-joins into the enclosing group on its projected
@@ -285,17 +289,31 @@ class _Parser:
                 self.expect_kw("IN")
             self.expect_punct("(")
             items = []
-            while self.peek() != ("PUNCT", ")"):
-                item, _ = self._operand()
-                if isinstance(item, Column):
-                    raise SparqlSyntaxError(
-                        "IN list must be constant terms in this subset")
-                items.append(item)
-                if self.peek() == ("PUNCT", ","):
-                    self.take()
-            self.take()
-            col = left if isinstance(left, Column) else F.lit(left)
-            expr = col.isin(items)
+            if self.peek() != ("PUNCT", ")"):
+                while True:
+                    item, item_num = self._operand()
+                    if isinstance(item, Column):
+                        raise SparqlSyntaxError(
+                            "IN list must be constant terms in this "
+                            "subset")
+                    items.append((item, item_num))
+                    if self.peek() == ("PUNCT", ","):
+                        self.take()
+                        continue
+                    break
+            self.expect_punct(")")
+            # spec: IN is a chain of '=' comparisons -> apply the
+            # same numeric-literal casting rule per item
+            expr = F.lit(False)  # ?x IN () is false, NOT IN () true
+            for item, item_num in items:
+                if left_num or item_num:
+                    lc = (left.cast("double") if isinstance(left, Column)
+                          else F.lit(float(left)))
+                    rc = F.lit(float(item))
+                else:
+                    lc = left if isinstance(left, Column) else F.lit(left)
+                    rc = F.lit(item)
+                expr = expr | (lc == rc)
             return ~expr if neg else expr
         if kind == "PUNCT" and val in ("=", "!=", "<", "<=", ">", ">="):
             self.take()
@@ -670,6 +688,9 @@ class _Parser:
                         var = None
                         if fn != "COUNT":
                             raise SparqlSyntaxError(f"{fn}(*) is not SPARQL")
+                        if agg_distinct:
+                            raise SparqlSyntaxError(
+                                "COUNT(DISTINCT *) not in subset")
                     else:
                         vkind, vval = self.take()
                         if vkind != "VAR":
@@ -740,6 +761,35 @@ class _Parser:
                 order, limit, offset)
 
 
+_META_SUFFIXES = ("__kind", "__datatype", "__lang")
+
+
+def _is_meta(col: str) -> bool:
+    """True for the per-variable term-metadata companion columns that
+    bgp_match emits under keep_kinds (``v__kind`` etc.) — they mirror
+    the variable 1:1 and must NEVER join: datatype/lang are null for
+    IRIs, so an equi-join keyed on them silently matches nothing."""
+    return col.endswith(_META_SUFFIXES)
+
+
+def _shared_vars(a: DataFrame, b: DataFrame) -> list[str]:
+    """Shared VARIABLE columns of two binding frames (metadata
+    companions excluded) — the only legal join surface."""
+    bcols = set(b.columns)
+    return sorted(c for c in a.columns if c in bcols and not _is_meta(c))
+
+
+def _join_bindings(out: DataFrame, inner: DataFrame, shared: list[str],
+                   how: str = "inner") -> DataFrame:
+    """Equi-join two binding frames on shared variables, dropping the
+    inner side's duplicated metadata companions (both sides bind the
+    same term for a shared variable, so the outer copy is
+    authoritative and keeping both would leave ambiguous columns)."""
+    dup_meta = [c for c in inner.columns
+                if _is_meta(c) and c in out.columns]
+    return out.join(inner.drop(*dup_meta), on=shared, how=how)
+
+
 def _compile_group(triples: DataFrame, g: dict,
                    path_max_rounds: int,
                    keep_kinds: bool = False) -> DataFrame:
@@ -764,12 +814,12 @@ def _compile_group(triples: DataFrame, g: dict,
         if out is None:
             out = sub
             continue
-        shared = sorted(set(out.columns) & set(sub.columns))
+        shared = _shared_vars(out, sub)
         if not shared:
             raise SparqlSyntaxError(
                 "subquery shares no variable with the group "
                 "(would be a cross join)")
-        out = out.join(sub, on=shared)
+        out = _join_bindings(out, sub, shared)
     if g["patterns"]:
         bgp = bgp_match(triples, g["patterns"],
                         path_max_rounds=path_max_rounds,
@@ -777,12 +827,13 @@ def _compile_group(triples: DataFrame, g: dict,
         if out is None:
             out = bgp
         else:
-            shared = sorted(set(out.columns) & set(bgp.columns))
+            shared = _shared_vars(out, bgp)
             if not shared:
                 raise SparqlSyntaxError(
-                    "UNION block shares no variable with the group's "
-                    "triple patterns (would be a cross join)")
-            out = out.join(bgp, on=shared)
+                    "preceding UNION/subquery block shares no variable "
+                    "with the group's triple patterns (would be a "
+                    "cross join)")
+            out = _join_bindings(out, bgp, shared)
     for names, rows in g["values"]:
         vals = triples.sparkSession.createDataFrame(
             rows, ", ".join(f"`{n}` string" for n in names))
@@ -800,14 +851,14 @@ def _compile_group(triples: DataFrame, g: dict,
         out = out.withColumn(name, expr)
     for opt in g["optionals"]:
         inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
-        shared = sorted(set(out.columns) & set(inner.columns))
+        shared = _shared_vars(out, inner)
         if not shared:
             raise SparqlSyntaxError(
                 "OPTIONAL shares no variable with the outer group")
-        out = out.join(inner, on=shared, how="left")
+        out = _join_bindings(out, inner, shared, how="left")
     for m in g["minuses"]:
         inner = _compile_group(triples, m, path_max_rounds, keep_kinds)
-        shared = sorted(set(out.columns) & set(inner.columns))
+        shared = _shared_vars(out, inner)
         if not shared:
             # SPARQL MINUS with disjoint domains removes NOTHING
             # (spec §8.3.3) — dropping rows here would be wrong
@@ -816,19 +867,33 @@ def _compile_group(triples: DataFrame, g: dict,
                        on=shared, how="left_anti")
     for positive, e in g["exists"]:
         inner = _compile_group(triples, e, path_max_rounds, keep_kinds)
-        shared = sorted(set(out.columns) & set(inner.columns))
-        if shared:
-            out = out.join(inner.select(*shared).dropna(how="any"),
-                           on=shared,
-                           how="left_semi" if positive else "left_anti")
-            continue
-        # no shared variable: EXISTS is one scalar fact ("does the
-        # pattern match AT ALL") — probe with a 1-row broadcast left
-        # join, never a data-sized cross join
+        shared = _shared_vars(out, inner)
+        # "does the pattern match AT ALL" probe: ONE broadcast row,
+        # never a data-sized cross join
         probe = F.broadcast(inner.limit(1).select(F.lit(1).alias("__e")))
-        out = out.join(probe, F.lit(True), "left")
-        out = out.where(F.col("__e").isNotNull() if positive
-                        else F.col("__e").isNull()).drop("__e")
+
+        def scalar_probe(df, pos=positive, pr=probe):
+            df = df.join(pr, F.lit(True), "left")
+            return df.where(F.col("__e").isNotNull() if pos
+                            else F.col("__e").isNull()).drop("__e")
+
+        if not shared:
+            out = scalar_probe(out)
+            continue
+        inner_k = inner.select(*shared).dropna(how="any")
+        # a NULL shared variable is UNBOUND: it stays free inside
+        # EXISTS, so the pattern matches iff it matches at all —
+        # route those rows through the scalar probe instead of the
+        # equi-join (exact for one shared variable; for partially-
+        # bound multi-variable rows the probe ignores the still-bound
+        # vars — documented deviation in the module docstring)
+        nullk = F.lit(False)
+        for v in shared:
+            nullk = nullk | F.col(v).isNull()
+        bound = out.where(~nullk).join(
+            inner_k, on=shared,
+            how="left_semi" if positive else "left_anti")
+        out = bound.unionByName(scalar_probe(out.where(nullk)))
     # group-scope FILTERs apply over the whole group INCLUDING
     # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);
     # Catalyst pushes outer-column-only predicates back below the
@@ -925,7 +990,16 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
         missing = [v for v in plain if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(f"unbound SELECT variables {missing}")
-        out = out.select(*plain)
+        # carry each projected variable's term-metadata companions
+        # when present (keep_kinds subqueries feeding CONSTRUCT/
+        # UPDATE templates): they mirror the variable 1:1, so
+        # DISTINCT semantics are unchanged
+        proj = []
+        for v in plain:
+            proj.append(v)
+            proj.extend(f"{v}{s}" for s in _META_SUFFIXES
+                        if f"{v}{s}" in out.columns)
+        out = out.select(*proj)
     if distinct:
         out = out.distinct()
     if order:

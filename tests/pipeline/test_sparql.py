@@ -493,6 +493,65 @@ def test_update_delete_insert_where(g):
     assert (E + "alice", E + "age", "9") in s
 
 
+def test_minus_under_keep_kinds_update(g):
+    # regression: v__kind/__datatype/__lang companions must stay OUT
+    # of the MINUS join surface (null datatype keys made MINUS a
+    # no-op inside UPDATE/CONSTRUCT WHERE clauses)
+    out = sparql_update(g, PFX + """
+        DELETE { ?p ex:age ?a . }
+        WHERE { ?p ex:age ?a .
+                MINUS { ?p2 ex:age ?a . FILTER (?a > 10) } }""")
+    s = spo(out)
+    assert (E + "alice", E + "age", "9") not in s   # deleted
+    assert (E + "bob", E + "age", "40") in s        # MINUS-protected
+
+
+def test_exists_with_optional_nulls(g):
+    # an unbound shared var stays FREE inside EXISTS: carol (null ?a)
+    # matches iff the pattern matches at all
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:age ?a }
+          FILTER EXISTS { ?q ex:age ?a }
+        }"""))
+    assert got == {(E + "alice",), (E + "bob",), (E + "carol",)}
+    # ... and NOT EXISTS symmetrically removes the null row too
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:age ?a }
+          FILTER NOT EXISTS { ?q ex:age ?a }
+        }"""))
+    assert got == set()
+
+
+def test_construct_subquery_keeps_literal_kind(g):
+    # regression: subquery projection must carry v__kind companions so
+    # CONSTRUCT stamps literals as literals (not default-IRI)
+    out = sparql_construct(g, PFX + """
+        CONSTRUCT { ?p ex:alias ?n . }
+        WHERE { ?p ex:knows ?q .
+                { SELECT ?q ?n WHERE { ?q ex:name ?n . } } }""")
+    got = {(r["obj_lex"], r["obj_kind"]) for r in out.collect()}
+    assert got == {("Bob", KIND_LITERAL), ("carol lower", KIND_LITERAL)}
+
+
+def test_in_numeric_matches_equals(g):
+    # IN is a chain of '=' -> numeric-literal casting applies
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE { ?p ex:age ?a . FILTER (?a IN (9, 50)) }"""))
+    assert got == {(E + "alice",)}
+    with pytest.raises(SparqlSyntaxError):  # missing comma
+        sparql_select(g, PFX + """
+            SELECT ?n WHERE { ?p ex:name ?n .
+              FILTER (?n IN ("Alice" "Bob")) }""").collect()
+    with pytest.raises(SparqlSyntaxError):  # COUNT(DISTINCT *)
+        sparql_select(g, PFX + """
+            SELECT (COUNT(DISTINCT *) AS ?c)
+            WHERE { ?p ex:name ?n . }""").collect()
+
+
 def test_update_syntax_errors(g):
     for bad in [
         PFX + "INSERT DATA { ?v ex:p ex:o . }",   # variable in DATA
