@@ -776,6 +776,22 @@ def q_kg_sparql_update(spark, sf_dir):
     return out.select("subj", "pred", "obj_lex")
 
 
+def q_kg_sparql_groupconcat(spark, sf_dir):
+    """GROUP_CONCAT/COUNT aggregates through the SPARQL front-end:
+    per-region sorted name concatenation (the operator sorts collected
+    values so the result is deterministic — DuckDB replays it as
+    string_agg ORDER BY)."""
+    from rdf_spark.operators.sparql import sparql_select
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return sparql_select(t, """
+        PREFIX ex: <http://ex/>
+        SELECT ?r (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names)
+               (COUNT(?n) AS ?cnt)
+        WHERE { ?n ex:inRegion ?r ; ex:name ?name . }
+        GROUP BY ?r""")
+
+
 def q_kg_construct_transform(spark, sf_dir):
     """SPARQL CONSTRUCT as graph transformation: re-express the nation
     KG in a target vocabulary (Place/located/label) — one array-explode
@@ -1755,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "emb_topk_cosine": q_emb_topk_cosine,
+        "kg_sparql_groupconcat": q_kg_sparql_groupconcat,
         "tpch_q1_like": q_tpch_q1_like,
         "web_url_normalize": q_web_url_normalize,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -2342,6 +2359,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'http://ex/n' || n_nationkey, 'http://ex/inRegion',
                    'http://ex/r' || n_regionkey FROM nation
+        """,
+        "kg_sparql_groupconcat": """
+            SELECT 'http://ex/r' || n_regionkey AS r,
+                   string_agg(n_name, '|' ORDER BY n_name) AS names,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM nation GROUP BY 1
         """,
         # kg_construct_transform: the CONSTRUCT template instantiated
         # per nation row — type triple (IRI object, kind 0), located
