@@ -881,6 +881,16 @@ def _compile_group(triples: DataFrame, g: dict,
             out = scalar_probe(out)
             continue
         inner_k = inner.select(*shared).dropna(how="any")
+        how = "left_semi" if positive else "left_anti"
+        # patterns/joins alone never bind null — only OPTIONAL misses,
+        # UNION null-fill, BIND expressions, VALUES UNDEF, or a
+        # subquery can; skip the null-row split (and its second scan
+        # of the outer) when none is present
+        nullable = bool(g["optionals"] or g["unions"] or g["binds"]
+                        or g["values"] or g["subqueries"])
+        if not nullable:
+            out = out.join(inner_k, on=shared, how=how)
+            continue
         # a NULL shared variable is UNBOUND: it stays free inside
         # EXISTS, so the pattern matches iff it matches at all —
         # route those rows through the scalar probe instead of the
@@ -890,9 +900,7 @@ def _compile_group(triples: DataFrame, g: dict,
         nullk = F.lit(False)
         for v in shared:
             nullk = nullk | F.col(v).isNull()
-        bound = out.where(~nullk).join(
-            inner_k, on=shared,
-            how="left_semi" if positive else "left_anti")
+        bound = out.where(~nullk).join(inner_k, on=shared, how=how)
         out = bound.unionByName(scalar_probe(out.where(nullk)))
     # group-scope FILTERs apply over the whole group INCLUDING
     # optionals (SPARQL semantics — BOUND(?x) sees the join nulls);

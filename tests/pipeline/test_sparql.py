@@ -606,3 +606,15 @@ def test_plan_is_relational(g, tmp_path):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "PushedFilters: [IsNotNull(pred)" in plan or \
         "PushedFilters: [" in plan
+    # EXISTS/MINUS over a null-free group: plain semi/anti equi-joins,
+    # no null-branch split, no cartesian
+    df2 = sparql_select(gp, PFX + """
+        SELECT ?n WHERE {
+          ?p ex:name ?n .
+          FILTER EXISTS { ?p a ex:Person }
+          MINUS { ?p ex:age ?a . FILTER (?a > 100) }
+        }""")
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2
+    assert "LeftSemi" in plan2 and "LeftAnti" in plan2
+    assert "Union" not in plan2  # null split skipped: group is null-free
