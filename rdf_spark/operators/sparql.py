@@ -15,7 +15,7 @@ the DataFrame calls by hand:
   -> :func:`paths.eval_path` via bgp_match's path passthrough,
 - FILTER             -> a Column expression (whole-stage codegen:
   comparisons, && || !, REGEX, STRSTARTS/STRENDS/CONTAINS, STRLEN,
-  LCASE/UCASE, BOUND),
+  LCASE/UCASE, BOUND, STR, COALESCE, IF),
 - OPTIONAL { ... }   -> left outer join on the shared variables,
 - { A } UNION { B }  -> unionByName with null-fill (bag semantics),
 - VALUES             -> broadcast inline-binding join (UNDEF -> null),
@@ -369,6 +369,17 @@ class _Parser:
                 raise SparqlSyntaxError("BOUND takes a variable")
             self.expect_punct(")")
             return F.col(val[1:]).isNotNull(), False
+        if name == "IF":
+            # the condition is a full boolean expression, not an operand
+            cond = self._or_expr()
+            self.expect_punct(",")
+            then_v = self._operand()[0]
+            self.expect_punct(",")
+            else_v = self._operand()[0]
+            self.expect_punct(")")
+            then_c = then_v if isinstance(then_v, Column) else F.lit(then_v)
+            else_c = else_v if isinstance(else_v, Column) else F.lit(else_v)
+            return F.when(cond, then_c).otherwise(else_c), False
         args = [self._operand()[0]]
         while self.peek() == ("PUNCT", ","):
             self.take()
@@ -398,6 +409,11 @@ class _Parser:
             return F.lower(cols[0]), False
         if name == "UCASE":
             return F.upper(cols[0]), False
+        if name == "STR":
+            # binding columns already hold the lexical form
+            return cols[0], False
+        if name == "COALESCE":
+            return F.coalesce(*cols), False
         raise SparqlSyntaxError(f"unsupported function {name}")
 
     def term_tagged(self):
@@ -525,7 +541,13 @@ class _Parser:
             if kind == "KW" and val.upper() == "BIND":
                 self.take()
                 self.expect_punct("(")
+                i0 = self.i
                 expr, _ = self._operand()
+                # the variables this expression references (token
+                # scan) — the compiler defers the BIND until all of
+                # them are bound (e.g. by a later-joined OPTIONAL)
+                deps = {t[1][1:] for t in self.toks[i0:self.i]
+                        if t[0] == "VAR"}
                 self.expect_kw("AS")
                 vkind, vval = self.take()
                 if vkind != "VAR":
@@ -533,7 +555,7 @@ class _Parser:
                 self.expect_punct(")")
                 g["binds"].append((
                     expr if isinstance(expr, Column) else F.lit(expr),
-                    vval[1:]))
+                    vval[1:], deps))
                 continue
             if kind == "KW" and val.upper() == "GRAPH":
                 self.take()
@@ -847,8 +869,21 @@ def _compile_group(triples: DataFrame, g: dict,
         out = out.join(F.broadcast(vals), on=shared)
     if out is None:
         raise SparqlSyntaxError("empty WHERE group")
-    for expr, name in g["binds"]:
-        out = out.withColumn(name, expr)
+
+    def apply_ready_binds(df, pending):
+        """Apply each BIND whose referenced variables are all bound;
+        return the rest (they wait for the OPTIONAL left-joins below —
+        SPARQL BIND is positional, so a BIND written after an OPTIONAL
+        may reference its variables)."""
+        rest = []
+        for expr, name, deps in pending:
+            if deps <= set(df.columns):
+                df = df.withColumn(name, expr)
+            else:
+                rest.append((expr, name, deps))
+        return df, rest
+
+    out, deferred = apply_ready_binds(out, g["binds"])
     for opt in g["optionals"]:
         inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
         shared = _shared_vars(out, inner)
@@ -856,6 +891,12 @@ def _compile_group(triples: DataFrame, g: dict,
             raise SparqlSyntaxError(
                 "OPTIONAL shares no variable with the outer group")
         out = _join_bindings(out, inner, shared, how="left")
+    out, deferred = apply_ready_binds(out, deferred)
+    if deferred:
+        raise SparqlSyntaxError(
+            "BIND references unbound variables: " + ", ".join(
+                sorted(set().union(*[d for _, _, d in deferred])
+                       - set(out.columns))))
     for m in g["minuses"]:
         inner = _compile_group(triples, m, path_max_rounds, keep_kinds)
         shared = _shared_vars(out, inner)

@@ -552,6 +552,28 @@ def test_in_numeric_matches_equals(g):
             WHERE { ?p ex:name ?n . }""").collect()
 
 
+def test_str_coalesce_if(g):
+    # COALESCE fills the OPTIONAL null; IF takes a full boolean cond
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?v WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          OPTIONAL { ?p ex:age ?a }
+          BIND (COALESCE(?a, "none") AS ?v)
+        }"""))
+    assert got == {("Alice", "9"), ("Bob", "40"),
+                   ("carol lower", "none")}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?grp WHERE {
+          ?p ex:name ?n ; ex:age ?a .
+          BIND (IF(?a > 10, "old", "young") AS ?grp)
+        }"""))
+    assert got == {("Alice", "young"), ("Bob", "old")}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n .
+          FILTER (STR(?n) = "Rex") }"""))
+    assert got == {("Rex",)}
+
+
 def test_update_syntax_errors(g):
     for bad in [
         PFX + "INSERT DATA { ?v ex:p ex:o . }",   # variable in DATA
