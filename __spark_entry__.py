@@ -1735,9 +1735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parsing (all six syntaxes + embedded-RDF extraction)
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
-        "rdf_parse_nquads": q_rdf_parse_nquads,
-        "rdf_parse_jsonld": q_rdf_parse_jsonld,
-        "rdf_parse_trig": q_rdf_parse_trig,
         "rdf_parse_microdata": q_rdf_parse_microdata,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "web_page_metadata": q_web_page_metadata,
@@ -1749,17 +1746,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         # training-data / curation
-        "doc_pii": q_doc_pii,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_remove_boilerplate": q_doc_remove_boilerplate,
         # round-4 operator: cross-doc duplicated-span removal
         "doc_remove_dup_spans": q_doc_remove_dup_spans,
-        "doc_filter_verdicts": q_doc_filter_verdicts,
-        "doc_pack_sequences": q_doc_pack_sequences,
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_minhash_lsh_pairs": q_doc_minhash_lsh_pairs,
-        "doc_ngram_jaccard": q_doc_ngram_jaccard,
-        "doc_dup_clusters": q_doc_dup_clusters,
+        # end-of-round-4 rotation: the remaining never-driver-checked
+        # round-4 ops promoted for hard rows (fusion, property paths,
+        # profile, components, apply_diff, GROUP_CONCAT); their slots
+        # come from triple/double-green rows demoted to the tail —
+        # rdf_parse_nquads/jsonld/trig (suite-covered 85/85, 335/335 +
+        # r1+r2+r3 green), doc_pii/stratified_sample/
+        # remove_boilerplate/filter_verdicts/pack_sequences (r2+r3),
+        # doc_ngram_jaccard/doc_dup_clusters (r1+r2+r3; the jaccard
+        # chain keeps doc_lsh_jaccard and the pointer-doubling kernel
+        # keeps kg_components in the head)
+        "kg_apply_diff": q_kg_apply_diff,
+        "kg_fuse_latest": q_kg_fuse_latest,
+        "kg_fuse_majority": q_kg_fuse_majority,
+        "kg_fuzzy_link": q_kg_fuzzy_link,
+        "rdf_path_coregion": q_rdf_path_coregion,
+        "rdf_path_star": q_rdf_path_star,
+        "rdf_bgp_path": q_rdf_bgp_path,
+        "kg_profile": q_kg_profile,
+        "kg_components": q_kg_components,
+        "kg_sparql_groupconcat": q_kg_sparql_groupconcat,
         # --- 50-entry driver cap ends here; tail entries below are
         # redundant with earlier rows, rows-only, or double-green in
         # r02+r03 driver records (rotated out in round 4:
@@ -1771,7 +1781,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "emb_topk_cosine": q_emb_topk_cosine,
-        "kg_sparql_groupconcat": q_kg_sparql_groupconcat,
+        "rdf_parse_nquads": q_rdf_parse_nquads,
+        "rdf_parse_jsonld": q_rdf_parse_jsonld,
+        "rdf_parse_trig": q_rdf_parse_trig,
+        "doc_pii": q_doc_pii,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_remove_boilerplate": q_doc_remove_boilerplate,
+        "doc_filter_verdicts": q_doc_filter_verdicts,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "doc_ngram_jaccard": q_doc_ngram_jaccard,
+        "doc_dup_clusters": q_doc_dup_clusters,
         "tpch_q1_like": q_tpch_q1_like,
         "web_url_normalize": q_web_url_normalize,
         "emb_ivf_topk": q_emb_ivf_topk,
@@ -1782,15 +1801,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_iri_validate": q_rdf_iri_validate,
         "rdf_xsd_validate": q_rdf_xsd_validate,
         "doc_minhash": q_doc_minhash,
-        "kg_apply_diff": q_kg_apply_diff,
-        "kg_fuse_latest": q_kg_fuse_latest,
-        "kg_fuse_majority": q_kg_fuse_majority,
-        "kg_fuzzy_link": q_kg_fuzzy_link,
-        "rdf_path_coregion": q_rdf_path_coregion,
-        "rdf_path_star": q_rdf_path_star,
-        "rdf_bgp_path": q_rdf_bgp_path,
-        "kg_profile": q_kg_profile,
-        "kg_components": q_kg_components,
         "rdf_salted_degree": q_rdf_salted_degree,
         "doc_repetition": q_doc_repetition,
         "emb_near_dups": q_emb_near_dups,
