@@ -10,8 +10,13 @@ processor, only the node-level @id/@value/@language/@type mapping):
 - ``@id`` names the subject (``_:`` prefix -> blank node, as
   node.go:117-124); objects without ``@id`` get a fresh blank node;
 - every other key is a predicate: absolute IRI keys kept verbatim,
-  ``@vocab``-less relative keys are resolved against ``@context`` when
-  it is a simple prefix map, else kept;
+  bare/CURIE keys resolve against ``@context``: simple prefix/term
+  string maps, expanded term definitions (``{"@id": ..., "@type":
+  "@id" | <datatype>}`` — ``@id`` coerces string values to IRIs,
+  a datatype IRI stamps them), ``@vocab``, context arrays (merged in
+  order), and a STRING context (remote, e.g. ``"https://schema.org"``)
+  treated as ``@vocab`` = url + "/" — the schema.org convention; a
+  parser kernel must not fetch the network, documented heuristic;
 - values: node objects ({"@id"}/{"@value","@language","@type"}),
   plain strings/numbers/booleans (typed per XSD), arrays fan out,
   nested objects recurse.
@@ -65,11 +70,42 @@ def _node_term(v, ctx, counter):
     raise JsonLdError(f"unsupported JSON-LD value: {v!r}")
 
 
+def _ctx_iri(entry):
+    """Context entry -> its IRI mapping (plain string or an expanded
+    term definition's @id)."""
+    if isinstance(entry, str):
+        return entry
+    if isinstance(entry, dict):
+        return entry.get("@id")
+    return None
+
+
+def _merge_context(base: dict, raw) -> dict:
+    """Fold a raw ``@context`` value (dict / string / array of both)
+    into ``base``. A string context is a REMOTE context; a parser
+    kernel must not touch the network, so it becomes ``@vocab`` =
+    url + "/" (the schema.org convention, documented heuristic)."""
+    ctx = dict(base)
+    for member in (raw if isinstance(raw, list) else [raw]):
+        if isinstance(member, str):
+            ctx["@vocab"] = member.rstrip("/#") + "/"
+        elif isinstance(member, dict):
+            for k, v in member.items():
+                if isinstance(v, str) or (
+                        isinstance(v, dict) and "@id" in v):
+                    ctx[k] = v
+    return ctx
+
+
 def _expand(key: str, ctx: dict) -> str:
+    iri = _ctx_iri(ctx.get(key))
+    if iri:  # simple term map or expanded term definition
+        return iri
     if ":" in key:
         pfx, local = key.split(":", 1)
-        if pfx in ctx and isinstance(ctx[pfx], str):
-            return ctx[pfx] + local
+        iri = _ctx_iri(ctx.get(pfx))
+        if iri:
+            return iri + local
         return key
     if "@vocab" in ctx:
         return ctx["@vocab"] + key
@@ -77,12 +113,10 @@ def _expand(key: str, ctx: dict) -> str:
 
 
 def _object_triples(obj: dict, ctx: dict, counter: list):
-    local_ctx = dict(ctx)
+    local_ctx = ctx
     raw_ctx = obj.get("@context")
-    if isinstance(raw_ctx, dict):
-        for k, v in raw_ctx.items():
-            if isinstance(v, str):
-                local_ctx[k] = v
+    if raw_ctx is not None:
+        local_ctx = _merge_context(ctx, raw_ctx)
     iid = obj.get("@id")
     if iid is None:
         counter[0] += 1
@@ -103,10 +137,22 @@ def _object_triples(obj: dict, ctx: dict, counter: list):
                     )
             continue
         pred = ("i", _expand(k, local_ctx))
+        tdef = local_ctx.get(k)
+        coerce = tdef.get("@type") if isinstance(tdef, dict) else None
         vals = v if isinstance(v, list) else [v]
         for val in vals:
-            term, extra = _node_term(val, local_ctx, counter)
-            triples.extend(extra)
+            if isinstance(val, str) and coerce == "@id":
+                # term definition coerces string values to IRI refs
+                term = (("b", val[2:]) if val.startswith("_:")
+                        else ("i", _expand(val, local_ctx)))
+            elif (isinstance(val, str) and isinstance(coerce, str)
+                    and not coerce.startswith("@")):
+                # datatype coercion stamps the literal
+                term = ("l", escape_literal_lex(val),
+                        _expand(coerce, local_ctx), None)
+            else:
+                term, extra = _node_term(val, local_ctx, counter)
+                triples.extend(extra)
             triples.append((subj, pred, term))
     return subj, triples
 
@@ -119,8 +165,8 @@ def parse_jsonld(text: str):
     ctx: dict = {}
     if isinstance(data, dict) and "@graph" in data:
         raw_ctx = data.get("@context")
-        if isinstance(raw_ctx, dict):
-            ctx = {k: v for k, v in raw_ctx.items() if isinstance(v, str)}
+        if raw_ctx is not None:
+            ctx = _merge_context(ctx, raw_ctx)
         items = data["@graph"]
     elif isinstance(data, list):
         items = data

@@ -220,6 +220,65 @@ def test_jsonld_string_literals_escaped():
     assert lit == ("l", 'say \\"hi\\"\\nplease', None, None)
 
 
+def test_jsonld_string_context_schema_org():
+    # the most common real-world form: a remote string context ->
+    # @vocab heuristic (no network in a parser kernel)
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = ('{"@context": "https://schema.org", "@id": "http://ex/a",'
+           ' "@type": "Person", "name": "Ada"}')
+    got = parse_jsonld(doc)
+    assert (("i", "http://ex/a"), ("i", RDF_TYPE),
+            ("i", "https://schema.org/Person"), None) in got
+    assert (("i", "http://ex/a"), ("i", "https://schema.org/name"),
+            ("l", "Ada", None, None), None) in got
+
+
+def test_jsonld_term_definitions_and_coercion():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = """{
+      "@context": {
+        "name": "http://xmlns.com/foaf/0.1/name",
+        "homepage": {"@id": "http://xmlns.com/foaf/0.1/homepage",
+                     "@type": "@id"},
+        "age": {"@id": "http://ex/age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"}
+      },
+      "@id": "http://ex/a",
+      "name": "Ada",
+      "homepage": "http://ada.example/",
+      "age": "36"
+    }"""
+    got = parse_jsonld(doc)
+    trip = {(q[1][1], q[2]) for q in got}
+    assert ("http://xmlns.com/foaf/0.1/name",
+            ("l", "Ada", None, None)) in trip
+    # @type: @id coerces the string value to an IRI ref
+    assert ("http://xmlns.com/foaf/0.1/homepage",
+            ("i", "http://ada.example/")) in trip
+    # datatype coercion stamps the literal
+    assert ("http://ex/age",
+            ("l", "36", "http://www.w3.org/2001/XMLSchema#integer",
+             None)) in trip
+
+
+def test_jsonld_context_array_merges_in_order():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = """{
+      "@context": ["https://schema.org",
+                   {"foaf": "http://xmlns.com/foaf/0.1/"}],
+      "@id": "http://ex/a",
+      "name": "Ada",
+      "foaf:nick": "ada"
+    }"""
+    got = parse_jsonld(doc)
+    preds = {q[1][1] for q in got}
+    assert "https://schema.org/name" in preds
+    assert "http://xmlns.com/foaf/0.1/nick" in preds
+
+
 def test_page_metadata_missing_and_first_wins():
     from rdf_spark.sources.extract import page_metadata_from_html
 
