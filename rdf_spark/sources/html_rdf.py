@@ -14,8 +14,10 @@ Scope (documented subset, deterministic):
   @inlist, no xmlns: bindings.
 - Microdata→RDF essentials: ``itemscope``, ``itemtype``, ``itemid``,
   ``itemprop``; property IRIs from the first itemtype's vocabulary;
-  nested items; value from content/href/src/datetime or text content.
-  No @itemref.
+  nested items; value from content/href/src/datetime or text content;
+  ``itemref`` crawls the referenced elements (id index built once per
+  document; circular references cut with an active-item guard —
+  invalid microdata per spec, never an infinite loop).
 
 Determinism: a pure function of the HTML bytes — parse order is
 document order, blank-node labels are per-document counters
@@ -244,24 +246,52 @@ def parse_microdata(html: bytes | str, base: str = ""):
     quads: list = []
     counter = [0]
 
+    # id -> element index for @itemref resolution (first id wins,
+    # matching getElementById)
+    ids: dict = {}
+
+    def index_ids(node):
+        nid = node.attrs.get("id")
+        if nid and nid not in ids:
+            ids[nid] = node
+        for c in node.children:
+            if isinstance(c, _Node):
+                index_ids(c)
+
+    index_ids(root)
+    active: set = set()  # items currently being crawled (cycle guard)
+
     def fresh():
         counter[0] += 1
         return bnode(f"md{counter[0] - 1}")
 
     def item_node(node):
-        a = node.attrs
-        if a.get("itemid"):
-            subj = iri(urljoin(base, a["itemid"]) if base else a["itemid"])
-        else:
-            subj = fresh()
-        types = (a.get("itemtype") or "").split()
-        vocab = _md_vocab(types[0]) if types else ""
-        for t in types:
-            quads.append((subj, iri(RDF_TYPE), iri(t), None))
-        for c in node.children:
-            if isinstance(c, _Node):
-                walk_props(c, subj, vocab)
-        return subj
+        if id(node) in active:
+            # circular @itemref chain — invalid microdata; emit a
+            # fresh item with no properties rather than recursing
+            return fresh()
+        active.add(id(node))
+        try:
+            a = node.attrs
+            if a.get("itemid"):
+                subj = iri(urljoin(base, a["itemid"]) if base
+                           else a["itemid"])
+            else:
+                subj = fresh()
+            types = (a.get("itemtype") or "").split()
+            vocab = _md_vocab(types[0]) if types else ""
+            for t in types:
+                quads.append((subj, iri(RDF_TYPE), iri(t), None))
+            for c in node.children:
+                if isinstance(c, _Node):
+                    walk_props(c, subj, vocab)
+            for ref in (a.get("itemref") or "").split():
+                tgt = ids.get(ref)
+                if tgt is not None:
+                    walk_props(tgt, subj, vocab)
+            return subj
+        finally:
+            active.discard(id(node))
 
     def prop_value(node):
         a = node.attrs

@@ -70,6 +70,34 @@ def test_microdata_absolute_itemprop_kept():
     assert any(q[1] == ("i", "http://purl.org/dc/terms/title") for q in got)
 
 
+def test_microdata_itemref():
+    html = (
+        '<div itemscope itemtype="http://schema.org/Person"'
+        ' itemid="http://ex/a" itemref="extra both"></div>'
+        '<meta id="extra" itemprop="name" content="Ada">'
+        '<div id="both"><span itemprop="nick">ada</span></div>'
+    )
+    got = parse_microdata(html)
+    trip = {(q[0], q[1][1], q[2]) for q in got}
+    subj = ("i", "http://ex/a")
+    assert (subj, "http://schema.org/name", ("l", "Ada", None, None)) in trip
+    assert (subj, "http://schema.org/nick", ("l", "ada", None, None)) in trip
+
+
+def test_microdata_itemref_cycle_terminates():
+    # two items referencing each other's containers: invalid
+    # microdata, must terminate without recursion
+    html = (
+        '<div id="x"><div itemscope itemid="http://ex/a"'
+        ' itemtype="http://schema.org/Thing" itemref="y">'
+        '<b itemprop="name">A</b></div></div>'
+        '<div id="y"><div itemscope itemprop="related"'
+        ' itemref="x"><b itemprop="name">B</b></div></div>'
+    )
+    got = parse_microdata(html)
+    assert any(q[1][1] == "http://schema.org/name" for q in got)
+
+
 def test_microdata_deterministic():
     html = (
         '<div itemscope itemtype="http://schema.org/Person">'
