@@ -200,6 +200,33 @@ def q_rdf_parse_star_nq(spark, sf_dir):
                     "subj", "pred", "obj_lex", "graph")
 
 
+def q_rdf_parse_rdfxml(spark, sf_dir):
+    """RDF/XML-lite pages (sources/rdfxml.py: typed node elements,
+    property elements, rdf:resource refs) -> triples through the same
+    mapInPandas parse kernel. Oracle replays the generation rules."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit('<rdf:RDF xmlns:rdf='
+              '"http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+              'xmlns:ex="http://ex/">\n<ex:Nation rdf:about='
+              '"http://ex/n'), F.col("n_nationkey").cast("string"),
+        F.lit('">\n  <ex:name>'), F.col("n_name"),
+        F.lit('</ex:name>\n  <ex:inRegion rdf:resource="http://ex/r'),
+        F.col("n_regionkey").cast("string"),
+        F.lit('"/>\n</ex:Nation>\n</rdf:RDF>'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/xml/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("rdfxml").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex")
+
+
 def q_rdf_parse_microdata(spark, sf_dir):
     """HTML pages with Microdata markup -> triples via the full
     extraction front-end (extract_pages + parse_pages)."""
@@ -1736,7 +1763,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
         "rdf_parse_microdata": q_rdf_parse_microdata,
-        "rdf_parse_rdfa": q_rdf_parse_rdfa,
+        # new-in-round-4 RDF/XML-lite source; slot from
+        # rdf_parse_rdfa (triple-green r1+r2+r3, tail below)
+        "rdf_parse_rdfxml": q_rdf_parse_rdfxml,
         "web_page_metadata": q_web_page_metadata,
         # graph ops
         "rdf_bgp_match": q_rdf_bgp_match,
@@ -1781,6 +1810,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "emb_topk_cosine": q_emb_topk_cosine,
+        "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
         "rdf_parse_trig": q_rdf_parse_trig,
@@ -2356,6 +2386,7 @@ def oracle_sql() -> dict[str, str]:
                               WHERE 'http://ex/r' || b.n_regionkey = per.r
                                 AND length(b.n_name) > 12)
         """,
+        "rdf_parse_rdfxml": _NATION_TRIPLES_ORACLE,
         # kg_sparql_update: the nation generation rules with ex:name
         # renamed to ex:label (DELETE/INSERT-WHERE replay)
         "kg_sparql_update": f"""

@@ -80,6 +80,10 @@ def parse_text(fmt: str, text: str, base: str):
         from ..sources.jsonld import parse_jsonld
 
         return parse_jsonld(text)
+    if fmt in ("rdfxml", "application/rdf+xml"):
+        from ..sources.rdfxml import parse_rdfxml
+
+        return parse_rdfxml(text, base)
     if fmt == "rdfa":
         from ..sources.html_rdf import parse_rdfa
 

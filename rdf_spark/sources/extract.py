@@ -33,6 +33,7 @@ MEDIA_TYPE_FORMATS = {
     "application/n-quads": "nquads",
     "application/trig": "trig",
     "application/ld+json": "jsonld",
+    "application/rdf+xml": "rdfxml",
     "application/n-triples-star": "ntriples-star",
     "application/n-quads-star": "nquads-star",
 }
