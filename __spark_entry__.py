@@ -869,6 +869,17 @@ def q_rdf_serialize(spark, sf_dir):
     return serialize_ntriples(t).select(F.col("value").alias("line"))
 
 
+def q_rdf_serialize_rdfxml(spark, sf_dir):
+    """RDF/XML sink (functions/serialize.py serialize_rdfxml): one
+    rdf:Description per subject, property elements sorted, namespaces
+    declared inline. Oracle replays the fixed element order for the
+    3-predicate nation corpus."""
+    from rdf_spark.functions.serialize import serialize_rdfxml
+
+    t = _parsed_nation_triples(spark, sf_dir)
+    return serialize_rdfxml(t).select("subj", "value")
+
+
 def q_rdf_serialize_turtle(spark, sf_dir):
     """Pretty-printed Turtle sink: per-subject ';'-grouped blocks with
     prefix compaction and 'a' for rdf:type (SURVEY.md S9)."""
@@ -1840,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
         "rdf_group_by_graph": q_rdf_group_by_graph,
+        "rdf_serialize_rdfxml": q_rdf_serialize_rdfxml,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
         "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
         "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
@@ -2469,6 +2481,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT '<http://ex/n' || n_nationkey || '> <http://ex/inRegion> <http://ex/r'
                    || n_regionkey || '> .'
+            FROM nation
+        """,
+        # rdf_serialize_rdfxml: fixed element order — the three
+        # property elements sort lexically as inRegion < name < type
+        "rdf_serialize_rdfxml": f"""
+            SELECT 'http://ex/n' || n_nationkey AS subj,
+                   '<rdf:Description rdf:about="http://ex/n'
+                     || n_nationkey || '">' || chr(10) || '  '
+                   || '<n:inRegion xmlns:n="http://ex/" rdf:resource='
+                     || '"http://ex/r' || n_regionkey || '"/>'
+                     || chr(10) || '  '
+                   || '<n:name xmlns:n="http://ex/">' || n_name
+                     || '</n:name>' || chr(10) || '  '
+                   || '<n:type xmlns:n='
+                     || '"http://www.w3.org/1999/02/22-rdf-syntax-ns#"'
+                     || ' rdf:resource="http://ex/Nation"/>' || chr(10)
+                   || '</rdf:Description>' AS value
             FROM nation
         """,
         "rdf_serialize_turtle": """

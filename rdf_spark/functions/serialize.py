@@ -436,6 +436,105 @@ def serialize_jsonld(triples: DataFrame) -> DataFrame:
     )
 
 
+RDFXML_HEADER = ('<rdf:RDF xmlns:rdf='
+                 '"http://www.w3.org/1999/02/22-rdf-syntax-ns#">')
+RDFXML_FOOTER = "</rdf:RDF>"
+
+
+def _nt_unescape(col: Column) -> Column:
+    """NT-escaped lexical form -> raw text (XML does not interpret
+    backslash escapes, so the serializer must invert the term model's
+    convention for parse_rdfxml round-trip identity). ``\\uXXXX``
+    escapes pass through verbatim — documented edge, same as the
+    JSON-LD sink's supplementary-plane note."""
+    sentinel = "\x00"
+    c = F.replace(col, F.lit("\\\\"), F.lit(sentinel))
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
+    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+    c = F.replace(c, F.lit('\\"'), F.lit('"'))
+    return F.replace(c, F.lit(sentinel), F.lit("\\"))
+
+
+def _xml_text(col: Column) -> Column:
+    """Escape raw text for an XML text node."""
+    c = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    c = F.replace(c, F.lit("<"), F.lit("&lt;"))
+    return F.replace(c, F.lit(">"), F.lit("&gt;"))
+
+
+def _xml_attr(col: Column) -> Column:
+    """Escape raw text for a double-quoted XML attribute value."""
+    return F.replace(_xml_text(col), F.lit('"'), F.lit("&quot;"))
+
+
+def serialize_rdfxml(triples: DataFrame) -> DataFrame:
+    """Triples -> one ``<rdf:Description>`` element per subject
+    (columns ``subj``, ``value``), round-tripping through
+    sources/rdfxml.py. Wrap the collected values in RDFXML_HEADER /
+    RDFXML_FOOTER for a full document.
+
+    Property-element names need XML QNames, so each predicate IRI
+    splits at its trailing NCName; the namespace is declared INLINE on
+    every property element (``<n:local xmlns:n="ns">``) — valid XML,
+    and it keeps the plan a single groupBy(subj) shuffle with no
+    driver-side prefix map. A predicate with no NCName tail (e.g.
+    ending in '/') cannot be a QName: raise_error, never silent drop.
+
+    Quoted-triple subjects/objects (RDF-star) are out of subset for
+    this sink — use the NT-star family."""
+    local = F.regexp_extract(F.col("pred"), r"([A-Za-z_][\w.-]*)$", 1)
+    ns = F.regexp_replace(F.col("pred"), r"([A-Za-z_][\w.-]*)$", "")
+    bad = (local == "") | (ns == "") | (F.col("obj_kind") == KIND_QUOTED) \
+        | (F.col("subj_kind") == KIND_QUOTED)
+    qname = F.concat(F.lit("n:"), local)
+    open_tag = F.concat(F.lit("<"), qname, F.lit(' xmlns:n="'),
+                        _xml_attr(ns), F.lit('"'))
+    raw = _nt_unescape(F.col("obj_lex"))
+    elem = (
+        F.when(F.col("obj_kind") == KIND_IRI,
+               F.concat(open_tag, F.lit(' rdf:resource="'),
+                        _xml_attr(F.col("obj_lex")), F.lit('"/>')))
+        .when(F.col("obj_kind") == KIND_BNODE,
+              F.concat(open_tag, F.lit(' rdf:nodeID="'),
+                       F.col("obj_lex"), F.lit('"/>')))
+        .when(F.col("obj_lang").isNotNull(),
+              F.concat(open_tag, F.lit(' xml:lang="'), F.col("obj_lang"),
+                       F.lit('">'), _xml_text(raw),
+                       F.lit("</"), qname, F.lit(">")))
+        .when(F.col("obj_datatype").isNotNull(),
+              F.concat(open_tag, F.lit(' rdf:datatype="'),
+                       _xml_attr(F.col("obj_datatype")), F.lit('">'),
+                       _xml_text(raw), F.lit("</"), qname, F.lit(">")))
+        .otherwise(F.concat(open_tag, F.lit(">"), _xml_text(raw),
+                            F.lit("</"), qname, F.lit(">")))
+    )
+    elem = F.when(
+        ~bad, elem
+    ).otherwise(F.raise_error(F.concat(
+        F.lit("rdfxml sink: predicate/term not serializable: "),
+        F.col("pred"))))
+    subj_attr = F.when(
+        F.col("subj_kind") == KIND_BNODE,
+        F.concat(F.lit(' rdf:nodeID="'), F.col("subj"), F.lit('"')),
+    ).otherwise(
+        F.concat(F.lit(' rdf:about="'), _xml_attr(F.col("subj")),
+                 F.lit('"')))
+    return (
+        triples.groupBy(F.col("subj"), subj_attr.alias("subj_attr"))
+        .agg(F.sort_array(F.collect_list(elem)).alias("props"))
+        .select(
+            "subj",
+            F.concat(
+                F.lit("<rdf:Description"), F.col("subj_attr"),
+                F.lit(">\n  "),
+                F.array_join(F.col("props"), "\n  "),
+                F.lit("\n</rdf:Description>"),
+            ).alias("value"),
+        )
+    )
+
+
 def prefix_header(prefixes: dict[str, str]) -> list[str]:
     """@prefix lines for a pretty-printed document (driver-side; tiny)."""
     return [f"@prefix {p}: <{ns}> ." for p, ns in sorted(prefixes.items())]

@@ -326,3 +326,46 @@ def test_jsonld_roundtrip_through_own_parser(spark):
         (("b", "b0"), ("i", "http://ex/name"), ("l", "Blank", None, None), None),
     }
     assert {tuple(q) for q in got} == want
+
+
+def test_serialize_rdfxml_roundtrip(spark):
+    from rdf_spark.functions.serialize import (
+        RDFXML_FOOTER, RDFXML_HEADER, serialize_rdfxml,
+    )
+    from rdf_spark.sources.rdfxml import parse_rdfxml
+
+    rows = [
+        (0, "http://ex/a", RDF_TYPE, 0, "http://ex/Thing", None, None),
+        (0, "http://ex/a", "http://ex/name", 2, 'say \\"hi\\" &<>', None,
+         None),
+        (0, "http://ex/a", "http://ex/note", 2, "bonjour", None, "fr"),
+        (0, "http://ex/a", "http://ex/age", 2, "36",
+         "http://www.w3.org/2001/XMLSchema#integer", None),
+        (0, "http://ex/a", "http://ex/knows", 1, "b7", None, None),
+        (1, "b7", "http://ex/name", 2, "line\\nbreak", None, None),
+    ]
+    t = spark.createDataFrame(rows, SCHEMA)
+    frags = [r["value"] for r in serialize_rdfxml(t).collect()]
+    doc = RDFXML_HEADER + "\n" + "\n".join(sorted(frags)) + RDFXML_FOOTER
+    got = {(s, p[1], o) for s, p, o, _ in parse_rdfxml(doc)}
+    want = {
+        (("i", "http://ex/a"), RDF_TYPE, ("i", "http://ex/Thing")),
+        (("i", "http://ex/a"), "http://ex/name",
+         ("l", 'say \\"hi\\" &<>', None, None)),
+        (("i", "http://ex/a"), "http://ex/note",
+         ("l", "bonjour", None, "fr")),
+        (("i", "http://ex/a"), "http://ex/age",
+         ("l", "36", "http://www.w3.org/2001/XMLSchema#integer", None)),
+        (("i", "http://ex/a"), "http://ex/knows", ("b", "b7")),
+        (("b", "b7"), "http://ex/name", ("l", "line\\nbreak", None, None)),
+    }
+    assert got == want
+
+
+def test_serialize_rdfxml_bad_predicate_raises(spark):
+    from rdf_spark.functions.serialize import serialize_rdfxml
+
+    t = spark.createDataFrame(
+        [(0, "http://ex/a", "http://ex/p/", 2, "x", None, None)], SCHEMA)
+    with pytest.raises(Exception, match="not serializable"):
+        serialize_rdfxml(t).collect()
