@@ -8,7 +8,7 @@ from hypothesis import given, settings, strategies as st
 from rdf_spark.operators.parse import doc_to_rows
 
 FORMATS = ["ntriples", "nquads", "turtle", "trig", "ntriples-star",
-           "nquads-star", "jsonld", "rdfa", "microdata"]
+           "nquads-star", "jsonld", "rdfa", "microdata", "rdfxml"]
 
 # adversarial alphabet: grammar metacharacters, quotes, escapes,
 # unicode, control chars
