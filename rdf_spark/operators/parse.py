@@ -115,6 +115,28 @@ def doc_to_rows(url: str, fmt: str, text: str, validate: bool = False):
     return rows
 
 
+def sniff_format(text: str) -> str:
+    """Cheap syntactic format sniff for crawl pages whose content
+    type is missing or wrong (at 10^12 documents, mislabeled bodies
+    are data). Checks only the document head; biased toward the
+    Turtle family because Turtle subsumes N-Triples and a wrong guess
+    surfaces as an error ROW, never an exception (doc_to_rows)."""
+    head = text.lstrip("﻿ \t\r\n")[:256]
+    if head.startswith(("{", "[")):
+        return "jsonld"
+    if head.startswith("<?xml") or head.startswith("<rdf:RDF") \
+            or "<rdf:RDF" in head:
+        return "rdfxml"
+    low = head.lower()
+    if low.startswith(("<!doctype", "<html")):
+        return "rdfa"  # attribute markup; microdata pages go through
+        # extract_pages, which probes both extractors
+    # quad syntaxes: a graph label or GRAPH keyword near the head
+    if head.startswith("<<"):
+        return "ntriples-star"
+    return "turtle"
+
+
 def parse_pages(pages: DataFrame, default_format: str = "turtle") -> DataFrame:
     """pages(url, text[, format]) -> triples DataFrame.
 
@@ -122,17 +144,27 @@ def parse_pages(pages: DataFrame, default_format: str = "turtle") -> DataFrame:
     ``url`` seeds the base IRI for relative-IRI resolution (mirrors the
     ``cwd`` argument of the reference's EvaluateDocument,
     /root/reference/turtle/doc.go:13-15).
+
+    ``default_format`` applies where no ``format`` column exists or
+    its value is null; pass ``"auto"`` to sniff per document
+    (:func:`sniff_format`) — the crawl-realistic mode for pages with
+    missing or wrong content types.
     """
     has_fmt = "format" in pages.columns
     cols = ["url", "text"] + (["format"] if has_fmt else [])
     src = pages.select(*cols)
+
+    def resolve(fmt, text):
+        f = fmt if fmt is not None else default_format
+        return sniff_format(text) if f == "auto" else f
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: list[tuple] = []
             fmts = pdf["format"] if has_fmt else None
             for i, (url, text) in enumerate(zip(pdf["url"], pdf["text"])):
-                fmt = fmts.iloc[i] if fmts is not None else default_format
+                fmt = resolve(fmts.iloc[i] if fmts is not None else None,
+                              text)
                 out.extend(doc_to_rows(url, fmt, text))
             yield pd.DataFrame(out, columns=_COLS)
 

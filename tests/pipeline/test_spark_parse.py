@@ -141,3 +141,33 @@ def test_generator_deterministic():
     b = list(generate_rows(20, seed=42))
     assert [r[0] for r in a] == [r[0] for r in b]
     assert [r[3] for r in a] == [r[3] for r in b]  # byte-identical text per url
+
+
+def test_sniff_format_and_auto_mode(spark):
+    from rdf_spark.operators.parse import (
+        good_triples, parse_pages, sniff_format,
+    )
+
+    assert sniff_format('{"@id": "http://ex/a"}') == "jsonld"
+    assert sniff_format('<?xml version="1.0"?><rdf:RDF/>') == "rdfxml"
+    assert sniff_format("@prefix ex: <http://ex/> .") == "turtle"
+    assert sniff_format("<http://a> <http://b> <http://c> .") == "turtle"
+    assert sniff_format("<<<http://a> <http://b> 1>> <http://c> 2 .") \
+        == "ntriples-star"
+    assert sniff_format("<!DOCTYPE html><html></html>") == "rdfa"
+    # mixed-format crawl batch with NO format column, auto-sniffed
+    pages = spark.createDataFrame(
+        [("http://c/1", '{"@id": "http://ex/a", "http://ex/p": "j"}'),
+         ("http://c/2", "<http://ex/b> <http://ex/p> \"t\" ."),
+         ("http://c/3",
+          '<rdf:RDF xmlns:rdf='
+          '"http://www.w3.org/1999/02/22-rdf-syntax-ns#" '
+          'xmlns:ex="http://ex/">'
+          '<rdf:Description rdf:about="http://ex/c">'
+          "<ex:p>x</ex:p></rdf:Description></rdf:RDF>")],
+        "url string, text string")
+    t = good_triples(parse_pages(pages, default_format="auto"))
+    got = {(r["subj"], r["obj_lex"]) for r in
+           t.select("subj", "obj_lex").collect()}
+    assert got == {("http://ex/a", "j"), ("http://ex/b", "t"),
+                   ("http://ex/c", "x")}
