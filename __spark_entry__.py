@@ -869,6 +869,25 @@ def q_rdf_serialize(spark, sf_dir):
     return serialize_ntriples(t).select(F.col("value").alias("line"))
 
 
+def q_kg_pg_nodes(spark, sf_dir):
+    """Property-graph export, node side (operators/graphalgo.py
+    property_graph): every IRI with sorted rdf:type labels and a
+    literal-property count. Oracle replays the LPG mapping rules."""
+    from rdf_spark.operators.graphalgo import property_graph
+
+    nodes, _ = property_graph(_parsed_nation_triples(spark, sf_dir))
+    return nodes
+
+
+def q_kg_pg_edges(spark, sf_dir):
+    """Property-graph export, edge side: IRI-object triples minus
+    rdf:type (types are node labels in the LPG model)."""
+    from rdf_spark.operators.graphalgo import property_graph
+
+    _, edges = property_graph(_parsed_nation_triples(spark, sf_dir))
+    return edges
+
+
 def q_rdf_serialize_rdfxml(spark, sf_dir):
     """RDF/XML sink (functions/serialize.py serialize_rdfxml): one
     rdf:Description per subject, property elements sorted, namespaces
@@ -1852,6 +1871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
         "rdf_group_by_graph": q_rdf_group_by_graph,
         "rdf_serialize_rdfxml": q_rdf_serialize_rdfxml,
+        "kg_pg_nodes": q_kg_pg_nodes,
+        "kg_pg_edges": q_kg_pg_edges,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
         "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
         "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
@@ -2399,6 +2420,25 @@ def oracle_sql() -> dict[str, str]:
                                 AND length(b.n_name) > 12)
         """,
         "rdf_parse_rdfxml": _NATION_TRIPLES_ORACLE,
+        # property-graph export: nations carry one label + one literal
+        # property (name); region/class IRIs are bare referenced nodes
+        "kg_pg_nodes": """
+            SELECT 'http://ex/n' || n_nationkey AS id,
+                   'http://ex/Nation' AS labels,
+                   CAST(1 AS BIGINT) AS n_props
+            FROM nation
+            UNION ALL
+            SELECT DISTINCT 'http://ex/r' || n_regionkey, '',
+                   CAST(0 AS BIGINT) FROM nation
+            UNION ALL
+            SELECT 'http://ex/Nation', '', CAST(0 AS BIGINT)
+        """,
+        "kg_pg_edges": """
+            SELECT 'http://ex/n' || n_nationkey AS src,
+                   'http://ex/inRegion' AS rel,
+                   'http://ex/r' || n_regionkey AS dst
+            FROM nation
+        """,
         # kg_sparql_update: the nation generation rules with ex:name
         # renamed to ex:label (DELETE/INSERT-WHERE replay)
         "kg_sparql_update": f"""

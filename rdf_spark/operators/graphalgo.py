@@ -255,6 +255,56 @@ def apply_diff(
     )
 
 
+def property_graph(triples: DataFrame):
+    """Triple table -> GraphFrames/GraphX-shaped ``(nodes, edges)``
+    export: the bridge from the RDF model to property-graph tooling.
+
+    - ``edges(src, rel, dst)``: every IRI-object triple except
+      rdf:type (types become node labels, matching the LPG model);
+    - ``nodes(id, labels, n_props)``: every IRI appearing as subject
+      or object, with its sorted rdf:type labels (pipe-joined string,
+      deterministic) and literal-property count.
+
+    Plan: three scans of one table, each aggregating on the vertex
+    key with map-side partial combine; the label/property joins are
+    left joins on ``id``. No driver-side work; at 100 TB feed a
+    subj-bucketed table (plans/bucketed.py) so the aggregations skip
+    their exchange."""
+    from ..terms import KIND_IRI
+
+    RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    edges = (
+        triples.where((F.col("obj_kind") == KIND_IRI)
+                      & (F.col("pred") != RDF_TYPE_IRI))
+        .select(F.col("subj").alias("src"), F.col("pred").alias("rel"),
+                F.col("obj_lex").alias("dst"))
+    )
+    labels = (
+        triples.where((F.col("pred") == RDF_TYPE_IRI)
+                      & (F.col("obj_kind") == KIND_IRI))
+        .groupBy(F.col("subj").alias("id"))
+        .agg(F.array_join(F.sort_array(F.collect_set("obj_lex")),
+                          "|").alias("labels"))
+    )
+    props = (
+        triples.where(F.col("obj_kind") != KIND_IRI)
+        .groupBy(F.col("subj").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_props"))
+    )
+    ids = (
+        triples.select(F.col("subj").alias("id"))
+        .unionByName(triples.where(F.col("obj_kind") == KIND_IRI)
+                     .select(F.col("obj_lex").alias("id")))
+        .distinct()
+    )
+    nodes = (
+        ids.join(labels, "id", "left").join(props, "id", "left")
+        .select("id", F.coalesce(F.col("labels"), F.lit("")).alias("labels"),
+                F.coalesce(F.col("n_props"), F.lit(0)).alias("n_props"))
+    )
+    return nodes, edges
+
+
 def dangling_refs(triples: DataFrame) -> DataFrame:
     """Referential integrity screen: IRIs used as objects that never
     occur as a subject anywhere in the graph -> ``(iri, n_refs)``.
