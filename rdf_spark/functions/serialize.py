@@ -441,22 +441,44 @@ RDFXML_HEADER = ('<rdf:RDF xmlns:rdf='
 RDFXML_FOOTER = "</rdf:RDF>"
 
 
-def _nt_unescape(col: Column) -> Column:
-    """NT-escaped lexical form -> raw text (XML does not interpret
-    backslash escapes, so the serializer must invert the term model's
-    convention for parse_rdfxml round-trip identity). ``\\uXXXX``
-    escapes pass through verbatim — documented edge, same as the
-    JSON-LD sink's supplementary-plane note."""
-    sentinel = "\x00"
-    c = F.replace(col, F.lit("\\\\"), F.lit(sentinel))
-    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
-    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
-    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+_XML_SENTINEL = "\x00"
+
+
+def _nt_to_xml_text(col: Column) -> Column:
+    """NT-escaped lexical form -> XML text-node content whose re-parse
+    (expat decode + escape_literal_lex) is the identity:
+
+    - ``\\\\`` -> sentinel first, so later steps never misread a
+      literal backslash as an escape introducer (restored last);
+    - ``\\"`` -> raw quote, ``\\n``/``\\t`` -> raw LF/tab (XML
+      preserves both in text nodes);
+    - ``\\r`` -> ``&#13;`` (XML 1.0 §2.11 line-ending normalization
+      would silently turn a raw CR into LF on re-parse);
+    - ``\\uXXXX`` / ``\\UXXXXXXXX`` -> ``&#x...;`` character
+      references (all non-ASCII and escaped controls in the canonical
+      form), emitted AFTER &/</> escaping so the refs survive."""
+    c = F.replace(col, F.lit("\\\\"), F.lit(_XML_SENTINEL))
     c = F.replace(c, F.lit('\\"'), F.lit('"'))
-    return F.replace(c, F.lit(sentinel), F.lit("\\"))
+    c = _xml_escape_raw(c)
+    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
+    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
+    c = F.replace(c, F.lit("\\r"), F.lit("&#13;"))
+    c = F.regexp_replace(c, r"\\u([0-9A-Fa-f]{4})", "&#x$1;")
+    c = F.regexp_replace(c, r"\\U([0-9A-Fa-f]{8})", "&#x$1;")
+    return F.replace(c, F.lit(_XML_SENTINEL), F.lit("\\"))
 
 
-def _xml_text(col: Column) -> Column:
+def _xml_unrepresentable(col: Column) -> Column:
+    """True when the NT-escaped form encodes a control character XML
+    1.0 cannot carry even as a character reference (0x00-0x1F except
+    tab/LF/CR, which the canonical form spells as two-char escapes).
+    Checked after the double-backslash sentinel so a literal
+    backslash never false-positives."""
+    s = F.replace(col, F.lit("\\\\"), F.lit(_XML_SENTINEL))
+    return s.rlike(r"\\u00[01][0-9A-Fa-f]")
+
+
+def _xml_escape_raw(col: Column) -> Column:
     """Escape raw text for an XML text node."""
     c = F.replace(col, F.lit("&"), F.lit("&amp;"))
     c = F.replace(c, F.lit("<"), F.lit("&lt;"))
@@ -465,7 +487,7 @@ def _xml_text(col: Column) -> Column:
 
 def _xml_attr(col: Column) -> Column:
     """Escape raw text for a double-quoted XML attribute value."""
-    return F.replace(_xml_text(col), F.lit('"'), F.lit("&quot;"))
+    return F.replace(_xml_escape_raw(col), F.lit('"'), F.lit("&quot;"))
 
 
 def serialize_rdfxml(triples: DataFrame) -> DataFrame:
@@ -481,16 +503,25 @@ def serialize_rdfxml(triples: DataFrame) -> DataFrame:
     driver-side prefix map. A predicate with no NCName tail (e.g.
     ending in '/') cannot be a QName: raise_error, never silent drop.
 
+    Literal text round-trips exactly: non-ASCII and supplementary
+    ``\\u``/``\\U`` escapes become ``&#x...;`` character references,
+    ``\\r`` becomes ``&#13;`` (raw CR would be LF-normalized by any
+    XML parser). Control characters XML 1.0 cannot represent at all
+    (0x00-0x1F minus tab/LF/CR) raise — they are outside the
+    format's value space.
+
     Quoted-triple subjects/objects (RDF-star) are out of subset for
     this sink — use the NT-star family."""
     local = F.regexp_extract(F.col("pred"), r"([A-Za-z_][\w.-]*)$", 1)
     ns = F.regexp_replace(F.col("pred"), r"([A-Za-z_][\w.-]*)$", "")
     bad = (local == "") | (ns == "") | (F.col("obj_kind") == KIND_QUOTED) \
-        | (F.col("subj_kind") == KIND_QUOTED)
+        | (F.col("subj_kind") == KIND_QUOTED) \
+        | ((F.col("obj_kind") == KIND_LITERAL)
+           & _xml_unrepresentable(F.col("obj_lex")))
     qname = F.concat(F.lit("n:"), local)
     open_tag = F.concat(F.lit("<"), qname, F.lit(' xmlns:n="'),
                         _xml_attr(ns), F.lit('"'))
-    raw = _nt_unescape(F.col("obj_lex"))
+    xml_text = _nt_to_xml_text(F.col("obj_lex"))
     elem = (
         F.when(F.col("obj_kind") == KIND_IRI,
                F.concat(open_tag, F.lit(' rdf:resource="'),
@@ -500,13 +531,13 @@ def serialize_rdfxml(triples: DataFrame) -> DataFrame:
                        F.col("obj_lex"), F.lit('"/>')))
         .when(F.col("obj_lang").isNotNull(),
               F.concat(open_tag, F.lit(' xml:lang="'), F.col("obj_lang"),
-                       F.lit('">'), _xml_text(raw),
+                       F.lit('">'), xml_text,
                        F.lit("</"), qname, F.lit(">")))
         .when(F.col("obj_datatype").isNotNull(),
               F.concat(open_tag, F.lit(' rdf:datatype="'),
                        _xml_attr(F.col("obj_datatype")), F.lit('">'),
-                       _xml_text(raw), F.lit("</"), qname, F.lit(">")))
-        .otherwise(F.concat(open_tag, F.lit(">"), _xml_text(raw),
+                       xml_text, F.lit("</"), qname, F.lit(">")))
+        .otherwise(F.concat(open_tag, F.lit(">"), xml_text,
                             F.lit("</"), qname, F.lit(">")))
     )
     elem = F.when(

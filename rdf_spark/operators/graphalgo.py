@@ -259,42 +259,56 @@ def property_graph(triples: DataFrame):
     """Triple table -> GraphFrames/GraphX-shaped ``(nodes, edges)``
     export: the bridge from the RDF model to property-graph tooling.
 
-    - ``edges(src, rel, dst)``: every IRI-object triple except
-      rdf:type (types become node labels, matching the LPG model);
-    - ``nodes(id, labels, n_props)``: every IRI appearing as subject
-      or object, with its sorted rdf:type labels (pipe-joined string,
-      deterministic) and literal-property count.
+    - ``edges(src, rel, dst)``: every IRI- or blank-node-object
+      triple except rdf:type (types become node labels, matching the
+      LPG model; blank nodes ARE vertices — the ``ex:a ex:addr _:b``
+      link must survive the export);
+    - ``nodes(id, labels, n_props)``: every IRI/bnode appearing as
+      subject or node object, with its sorted rdf:type labels
+      (pipe-joined string, deterministic) and LITERAL-property count.
+
+    Blank-node ids carry the ``_:`` prefix so a pre-skolemization
+    graph can never alias a bnode label with an IRI (after the
+    pipeline's skolemize pass there are no bnodes and ids are plain
+    IRIs).
 
     Plan: three scans of one table, each aggregating on the vertex
     key with map-side partial combine; the label/property joins are
     left joins on ``id``. No driver-side work; at 100 TB feed a
     subj-bucketed table (plans/bucketed.py) so the aggregations skip
     their exchange."""
-    from ..terms import KIND_IRI
+    from ..terms import KIND_BNODE, KIND_IRI, KIND_LITERAL
 
     RDF_TYPE_IRI = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+    def ref(kind_col, lex_col):
+        return F.when(kind_col == KIND_BNODE,
+                      F.concat(F.lit("_:"), lex_col)).otherwise(lex_col)
+
+    subj_ref = ref(F.col("subj_kind"), F.col("subj"))
+    obj_ref = ref(F.col("obj_kind"), F.col("obj_lex"))
+    is_node_obj = F.col("obj_kind").isin([KIND_IRI, KIND_BNODE])
     edges = (
-        triples.where((F.col("obj_kind") == KIND_IRI)
-                      & (F.col("pred") != RDF_TYPE_IRI))
-        .select(F.col("subj").alias("src"), F.col("pred").alias("rel"),
-                F.col("obj_lex").alias("dst"))
+        triples.where(is_node_obj & (F.col("pred") != RDF_TYPE_IRI))
+        .select(subj_ref.alias("src"), F.col("pred").alias("rel"),
+                obj_ref.alias("dst"))
     )
     labels = (
         triples.where((F.col("pred") == RDF_TYPE_IRI)
                       & (F.col("obj_kind") == KIND_IRI))
-        .groupBy(F.col("subj").alias("id"))
+        .groupBy(subj_ref.alias("id"))
         .agg(F.array_join(F.sort_array(F.collect_set("obj_lex")),
                           "|").alias("labels"))
     )
     props = (
-        triples.where(F.col("obj_kind") != KIND_IRI)
-        .groupBy(F.col("subj").alias("id"))
+        triples.where(F.col("obj_kind") == KIND_LITERAL)
+        .groupBy(subj_ref.alias("id"))
         .agg(F.count(F.lit(1)).alias("n_props"))
     )
     ids = (
-        triples.select(F.col("subj").alias("id"))
-        .unionByName(triples.where(F.col("obj_kind") == KIND_IRI)
-                     .select(F.col("obj_lex").alias("id")))
+        triples.select(subj_ref.alias("id"))
+        .unionByName(triples.where(is_node_obj)
+                     .select(obj_ref.alias("id")))
         .distinct()
     )
     nodes = (

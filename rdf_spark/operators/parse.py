@@ -16,6 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -79,7 +80,7 @@ def parse_text(fmt: str, text: str, base: str):
     if fmt in ("jsonld", "application/ld+json"):
         from ..sources.jsonld import parse_jsonld
 
-        return parse_jsonld(text)
+        return parse_jsonld(text, base)
     if fmt in ("rdfxml", "application/rdf+xml"):
         from ..sources.rdfxml import parse_rdfxml
 
@@ -124,16 +125,30 @@ def sniff_format(text: str) -> str:
     head = text.lstrip("﻿ \t\r\n")[:256]
     if head.startswith(("{", "[")):
         return "jsonld"
-    if head.startswith("<?xml") or head.startswith("<rdf:RDF") \
-            or "<rdf:RDF" in head:
-        return "rdfxml"
     low = head.lower()
-    if low.startswith(("<!doctype", "<html")):
+    # XHTML(+RDFa) pages conventionally open with an XML declaration —
+    # check for html markers BEFORE routing XML to the RDF/XML parser
+    if "<html" in low or "<!doctype" in low:
         return "rdfa"  # attribute markup; microdata pages go through
         # extract_pages, which probes both extractors
-    # quad syntaxes: a graph label or GRAPH keyword near the head
+    if head.startswith("<?xml") or "<rdf:RDF" in head:
+        return "rdfxml"
     if head.startswith("<<"):
         return "ntriples-star"
+    if "@prefix" in head or "@base" in head or low.startswith(
+            ("prefix ", "base ")):
+        # directive syntax: trig iff a graph block opens in the head
+        return "trig" if "{" in head else "turtle"
+    if "{" in head:
+        return "trig"  # graph block with no directives
+    # N-Quads: first data line is term term term term '.' with an
+    # IRI/bnode in graph position (a trailing ', <o2>' Turtle object
+    # list can fool this — the error row names the misparse)
+    first = next((ln for ln in head.splitlines()
+                  if ln.strip() and not ln.lstrip().startswith("#")), "")
+    if re.match(r"\s*(<[^>]*>|_:\S+)\s+<[^>]*>\s+\S.*"
+                r"\s+(<[^>]*>|_:\S+)\s*\.\s*$", first):
+        return "nquads"
     return "turtle"
 
 

@@ -29,7 +29,10 @@ the DataFrame calls by hand:
                      -> groupBy.agg (map-side partial combine;
   GROUP_CONCAT sorts collected values for determinism, SAMPLE = min),
 - FILTER ?x [NOT] IN (term, ...) -> Column.isin over constant terms,
-- BIND(expr AS ?v)   -> withColumn, HAVING -> post-aggregate filter,
+- BIND(expr AS ?v)   -> withColumn, applied POSITIONALLY (spec §10:
+  a BIND before an OPTIONAL does not see its variables — references
+  out of scope at the BIND's position evaluate to unbound/null),
+- HAVING -> post-aggregate filter,
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
@@ -553,9 +556,13 @@ class _Parser:
                 if vkind != "VAR":
                     raise SparqlSyntaxError("BIND needs AS ?var")
                 self.expect_punct(")")
+                # tag with the number of OPTIONALs already parsed:
+                # BIND is positional (spec §10) — it evaluates over
+                # the group-so-far, so a BIND written before an
+                # OPTIONAL must NOT see that OPTIONAL's variables
                 g["binds"].append((
                     expr if isinstance(expr, Column) else F.lit(expr),
-                    vval[1:], deps))
+                    vval[1:], deps, len(g["optionals"])))
                 continue
             if kind == "KW" and val.upper() == "GRAPH":
                 self.take()
@@ -870,33 +877,29 @@ def _compile_group(triples: DataFrame, g: dict,
     if out is None:
         raise SparqlSyntaxError("empty WHERE group")
 
-    def apply_ready_binds(df, pending):
-        """Apply each BIND whose referenced variables are all bound;
-        return the rest (they wait for the OPTIONAL left-joins below —
-        SPARQL BIND is positional, so a BIND written after an OPTIONAL
-        may reference its variables)."""
-        rest = []
-        for expr, name, deps in pending:
-            if deps <= set(df.columns):
-                df = df.withColumn(name, expr)
-            else:
-                rest.append((expr, name, deps))
-        return df, rest
+    def apply_binds_at(df, k):
+        """Apply the BINDs written after the k-th OPTIONAL (positional
+        semantics, spec §10): a referenced variable not in scope AT
+        THE BIND'S POSITION evaluates to unbound (null) — the spec's
+        expression-error rule — even if a later OPTIONAL binds it."""
+        for expr, name, deps, tag in g["binds"]:
+            if tag == k:
+                if deps <= set(df.columns):
+                    df = df.withColumn(name, expr)
+                else:
+                    df = df.withColumn(
+                        name, F.lit(None).cast("string"))
+        return df
 
-    out, deferred = apply_ready_binds(out, g["binds"])
-    for opt in g["optionals"]:
+    out = apply_binds_at(out, 0)
+    for n_opt, opt in enumerate(g["optionals"]):
         inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
         shared = _shared_vars(out, inner)
         if not shared:
             raise SparqlSyntaxError(
                 "OPTIONAL shares no variable with the outer group")
         out = _join_bindings(out, inner, shared, how="left")
-    out, deferred = apply_ready_binds(out, deferred)
-    if deferred:
-        raise SparqlSyntaxError(
-            "BIND references unbound variables: " + ", ".join(
-                sorted(set().union(*[d for _, _, d in deferred])
-                       - set(out.columns))))
+        out = apply_binds_at(out, n_opt + 1)
     for m in g["minuses"]:
         inner = _compile_group(triples, m, path_max_rounds, keep_kinds)
         shared = _shared_vars(out, inner)

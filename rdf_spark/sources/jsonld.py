@@ -39,7 +39,7 @@ class JsonLdError(ValueError):
     pass
 
 
-def _node_term(v, ctx, counter):
+def _node_term(v, ctx, counter, base):
     """Value -> term, mirroring node.go fromObject for node objects."""
     if isinstance(v, bool):
         return ("l", "true" if v else "false", XSD_BOOLEAN, None), []
@@ -63,9 +63,9 @@ def _node_term(v, ctx, counter):
             iid = v["@id"]
             if iid.startswith("_:"):
                 return ("b", iid[2:]), []
-            return ("i", _expand(iid, ctx)), []
+            return ("i", _expand_ref(iid, ctx, base)), []
         # nested node object -> recurse, return its subject
-        subj, triples = _object_triples(v, ctx, counter)
+        subj, triples = _object_triples(v, ctx, counter, base)
         return subj, triples
     raise JsonLdError(f"unsupported JSON-LD value: {v!r}")
 
@@ -97,6 +97,26 @@ def _merge_context(base: dict, raw) -> dict:
     return ctx
 
 
+def _expand_ref(ref: str, ctx: dict, base: str) -> str:
+    """@id-position IRI expansion (JSON-LD 1.1: CURIEs and terms
+    expand via the context; RELATIVE references resolve against the
+    document base — @vocab is for predicate/@type positions only)."""
+    if ":" in ref:
+        pfx, local = ref.split(":", 1)
+        iri_ = _ctx_iri(ctx.get(pfx))
+        if iri_:
+            return iri_ + local
+        return ref  # absolute IRI (has a scheme)
+    term = _ctx_iri(ctx.get(ref))
+    if term:
+        return term
+    if base:
+        from urllib.parse import urljoin
+
+        return urljoin(base, ref)
+    return ref
+
+
 def _expand(key: str, ctx: dict) -> str:
     iri = _ctx_iri(ctx.get(key))
     if iri:  # simple term map or expanded term definition
@@ -112,7 +132,7 @@ def _expand(key: str, ctx: dict) -> str:
     return key
 
 
-def _object_triples(obj: dict, ctx: dict, counter: list):
+def _object_triples(obj: dict, ctx: dict, counter: list, base: str = ""):
     local_ctx = ctx
     raw_ctx = obj.get("@context")
     if raw_ctx is not None:
@@ -124,7 +144,7 @@ def _object_triples(obj: dict, ctx: dict, counter: list):
     elif iid.startswith("_:"):
         subj = ("b", iid[2:])
     else:
-        subj = ("i", _expand(iid, local_ctx))
+        subj = ("i", _expand_ref(iid, local_ctx, base))
     triples = []
     for k, v in obj.items():
         if k.startswith("@"):
@@ -143,22 +163,24 @@ def _object_triples(obj: dict, ctx: dict, counter: list):
         for val in vals:
             if isinstance(val, str) and coerce == "@id":
                 # term definition coerces string values to IRI refs
+                # (document-relative resolution, never @vocab)
                 term = (("b", val[2:]) if val.startswith("_:")
-                        else ("i", _expand(val, local_ctx)))
+                        else ("i", _expand_ref(val, local_ctx, base)))
             elif (isinstance(val, str) and isinstance(coerce, str)
                     and not coerce.startswith("@")):
                 # datatype coercion stamps the literal
                 term = ("l", escape_literal_lex(val),
                         _expand(coerce, local_ctx), None)
             else:
-                term, extra = _node_term(val, local_ctx, counter)
+                term, extra = _node_term(val, local_ctx, counter, base)
                 triples.extend(extra)
             triples.append((subj, pred, term))
     return subj, triples
 
 
-def parse_jsonld(text: str):
-    """JSON-LD-lite text -> list of quads (default graph)."""
+def parse_jsonld(text: str, base: str = ""):
+    """JSON-LD-lite text -> list of quads (default graph). ``base``
+    (the page url) resolves relative @id references."""
     data = json.loads(text)
     counter = [0]
     out = []
@@ -175,6 +197,6 @@ def parse_jsonld(text: str):
     for obj in items:
         if not isinstance(obj, dict):
             raise JsonLdError(f"top-level JSON-LD item not an object: {obj!r}")
-        _, triples = _object_triples(obj, ctx, counter)
+        _, triples = _object_triples(obj, ctx, counter, base)
         out.extend(triples)
     return [(s, p, o, None) for s, p, o in out]

@@ -95,14 +95,17 @@ def parse_rdfxml(text: str, base: str = ""):
         if el.tag != _R + "Description":
             quads.append((subj, iri(RDF_TYPE), iri(_split(el.tag)), None))
         for k, v in el.attrib.items():
-            if k.startswith(_R) or k in (XML_LANG, XML_BASE):
-                continue
-            if not k.startswith("{"):
-                continue  # unqualified attribute (e.g. HTML leftovers)
             if k == _R + "type":
                 quads.append((subj, iri(RDF_TYPE),
                               iri(resolve(v, b)), None))
                 continue
+            if k in (_R + "aboutEach", _R + "aboutEachPrefix",
+                     _R + "bagID"):
+                raise RdfXmlError(f"obsolete attribute {k!r}")
+            if k.startswith(_R) or k in (XML_LANG, XML_BASE):
+                continue
+            if not k.startswith("{"):
+                continue  # unqualified attribute (e.g. HTML leftovers)
             quads.append((subj, iri(_split(k)), _lit(v, None, lang), None))
         li = [0]
         for child in el:
@@ -131,6 +134,15 @@ def parse_rdfxml(text: str, base: str = ""):
         if pel.get(_R + "ID") is not None:
             raise RdfXmlError("property-element reification (rdf:ID) "
                               "not in subset")
+        handled = {_R + "resource", _R + "nodeID", _R + "datatype",
+                   _R + "parseType", XML_LANG, XML_BASE}
+        extra = [k for k in pel.attrib if k not in handled]
+        if extra:
+            # property attributes on a property element (the implicit-
+            # bnode form) are out of subset: raise, never silent drop
+            raise RdfXmlError(
+                f"property attributes on property element not in "
+                f"subset: {extra}")
         res = pel.get(_R + "resource")
         nid = pel.get(_R + "nodeID")
         dt = pel.get(_R + "datatype")

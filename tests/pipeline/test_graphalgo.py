@@ -198,3 +198,31 @@ class TestConnectedComponents:
         fwd = connected_components(_edges(spark, [("a", "b"), ("b", "c")]))
         rev = connected_components(_edges(spark, [("c", "b"), ("b", "a")]))
         assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+def test_property_graph_bnode_links_become_edges(spark):
+    from rdf_spark.operators.graphalgo import property_graph
+
+    rows = [
+        ("u", 0, "http://ex/a", "http://ex/addr", 1, "b1", None, None,
+         None, None),
+        ("u", 1, "b1", "http://ex/city", 2, "London", None, None,
+         None, None),
+        ("u", 0, "http://ex/a",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", 0,
+         "http://ex/Person", None, None, None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "url string, subj_kind tinyint, subj string, pred string, "
+        "obj_kind tinyint, obj_lex string, obj_datatype string, "
+        "obj_lang string, graph_kind tinyint, graph string")
+    nodes, edges = property_graph(t)
+    e = {(r["src"], r["rel"], r["dst"]) for r in edges.collect()}
+    # the bnode link IS an edge (not a literal property), with the
+    # _: prefix disambiguating bnode ids from IRIs
+    assert ("http://ex/a", "http://ex/addr", "_:b1") in e
+    n = {r["id"]: (r["labels"], r["n_props"]) for r in nodes.collect()}
+    assert n["http://ex/a"] == ("http://ex/Person", 0)  # no literal props
+    assert n["_:b1"] == ("", 1)  # the city literal
+    assert "http://ex/Person" not in [s for s, _, _ in e]

@@ -171,3 +171,20 @@ def test_sniff_format_and_auto_mode(spark):
            t.select("subj", "obj_lex").collect()}
     assert got == {("http://ex/a", "j"), ("http://ex/b", "t"),
                    ("http://ex/c", "x")}
+
+
+def test_sniff_xhtml_quads_and_trig():
+    from rdf_spark.operators.parse import sniff_format
+
+    assert sniff_format('<?xml version="1.0"?><!DOCTYPE html>'
+                        '<html xmlns="..." about="x"></html>') == "rdfa"
+    assert sniff_format(
+        "<http://s> <http://p> <http://o> <http://g> .") == "nquads"
+    assert sniff_format(
+        "<http://s> <http://p> \"lit\" <http://g> .") == "nquads"
+    assert sniff_format(
+        "<http://s> <http://p> <http://o> .") == "turtle"
+    assert sniff_format(
+        "@prefix ex: <http://e/> .\nex:g { ex:s ex:p ex:o . }") == "trig"
+    assert sniff_format(
+        "<http://e/g> { <http://e/s> <http://e/p> 1 . }") == "trig"

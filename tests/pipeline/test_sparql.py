@@ -574,6 +574,27 @@ def test_str_coalesce_if(g):
     assert got == {("Rex",)}
 
 
+def test_bind_is_positional(g):
+    # a BIND written BEFORE the OPTIONAL must not see its variables
+    # (spec §10: expression error -> unbound), while the same BIND
+    # written AFTER sees them
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?v WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          BIND (?a AS ?v)
+          OPTIONAL { ?p ex:age ?a }
+        }"""))
+    assert got == {("Alice", None), ("Bob", None),
+                   ("carol lower", None)}
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n ?v WHERE {
+          ?p a ex:Person ; ex:name ?n .
+          OPTIONAL { ?p ex:age ?a }
+          BIND (?a AS ?v)
+        }"""))
+    assert got == {("Alice", "9"), ("Bob", "40"), ("carol lower", None)}
+
+
 def test_update_syntax_errors(g):
     for bad in [
         PFX + "INSERT DATA { ?v ex:p ex:o . }",   # variable in DATA

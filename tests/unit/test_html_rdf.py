@@ -324,3 +324,17 @@ def test_page_metadata_missing_and_first_wins():
 
     empty = page_metadata_from_html("<p>no head</p>", base="")
     assert all(v is None for v in empty.values())
+
+
+def test_jsonld_relative_id_resolves_against_base_not_vocab():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = ('{"@context": {"@vocab": "http://v/", "knows": '
+           '{"@id": "http://ex/knows", "@type": "@id"}}, '
+           '"@id": "rel-subj", "knows": "bob"}')
+    got = parse_jsonld(doc, base="http://crawl.example/dir/page")
+    trip = {(q[0], q[1][1], q[2]) for q in got}
+    # @id positions resolve against the document base, never @vocab
+    assert (("i", "http://crawl.example/dir/rel-subj"),
+            "http://ex/knows",
+            ("i", "http://crawl.example/dir/bob")) in trip

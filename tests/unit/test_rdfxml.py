@@ -99,3 +99,19 @@ def test_deterministic():
           <ex:Person><ex:name>N</ex:name></ex:Person>
         </ex:knows></ex:Person></rdf:RDF>"""
     assert parse_rdfxml(doc) == parse_rdfxml(doc)
+
+
+def test_rdf_type_attribute_and_obsolete_attrs():
+    got = trip(parse_rdfxml(
+        HDR + '<rdf:Description rdf:about="http://ex/a" '
+        'rdf:type="http://ex/C"/></rdf:RDF>'))
+    assert (("i", "http://ex/a"), RDF_TYPE, ("i", "http://ex/C")) in got
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a" '
+                     'rdf:bagID="b"/></rdf:RDF>')
+
+
+def test_property_attrs_on_property_element_raise():
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a">'
+                     '<ex:p ex:q="v"/></rdf:Description></rdf:RDF>')

@@ -369,3 +369,33 @@ def test_serialize_rdfxml_bad_predicate_raises(spark):
         [(0, "http://ex/a", "http://ex/p/", 2, "x", None, None)], SCHEMA)
     with pytest.raises(Exception, match="not serializable"):
         serialize_rdfxml(t).collect()
+
+
+def test_serialize_rdfxml_nonascii_and_cr_roundtrip(spark):
+    from rdf_spark.functions.serialize import (
+        RDFXML_FOOTER, RDFXML_HEADER, serialize_rdfxml,
+    )
+    from rdf_spark.sources.rdfxml import parse_rdfxml
+    from rdf_spark.terms import escape_literal_lex
+
+    # canonical lexical forms as the term model stores them
+    cafe = escape_literal_lex("café")            # café
+    cr = escape_literal_lex("a\rb")              # a\rb
+    astral = escape_literal_lex("x\U0001F600y")  # \U0001F600
+    bslash_u = escape_literal_lex("lit \\u0041") # literal backslash-u
+    rows = [(0, "http://ex/a", "http://ex/p1", 2, cafe, None, None),
+            (0, "http://ex/a", "http://ex/p2", 2, cr, None, None),
+            (0, "http://ex/a", "http://ex/p3", 2, astral, None, None),
+            (0, "http://ex/a", "http://ex/p4", 2, bslash_u, None, None)]
+    t = spark.createDataFrame(rows, SCHEMA)
+    frags = [r["value"] for r in serialize_rdfxml(t).collect()]
+    doc = RDFXML_HEADER + "\n".join(frags) + RDFXML_FOOTER
+    got = {q[1][1]: q[2][1] for q in parse_rdfxml(doc)}
+    assert got == {"http://ex/p1": cafe, "http://ex/p2": cr,
+                   "http://ex/p3": astral, "http://ex/p4": bslash_u}
+    # XML-unrepresentable control chars raise, never corrupt
+    bad = spark.createDataFrame(
+        [(0, "http://ex/a", "http://ex/p", 2,
+          escape_literal_lex("x\x01y"), None, None)], SCHEMA)
+    with pytest.raises(Exception, match="not serializable"):
+        serialize_rdfxml(bad).collect()
