@@ -469,13 +469,18 @@ def _nt_to_xml_text(col: Column) -> Column:
 
 
 def _xml_unrepresentable(col: Column) -> Column:
-    """True when the NT-escaped form encodes a control character XML
-    1.0 cannot carry even as a character reference (0x00-0x1F except
-    tab/LF/CR, which the canonical form spells as two-char escapes).
-    Checked after the double-backslash sentinel so a literal
-    backslash never false-positives."""
+    """True when the NT-escaped form encodes a code point XML 1.0
+    cannot carry even as a character reference: controls 0x00-0x1F
+    (except tab/LF/CR, which the canonical form spells as two-char
+    escapes), the surrogate range D800-DFFF, and FFFE/FFFF. Checked
+    after the double-backslash sentinel so a literal backslash never
+    false-positives."""
     s = F.replace(col, F.lit("\\\\"), F.lit(_XML_SENTINEL))
-    return s.rlike(r"\\u00[01][0-9A-Fa-f]")
+    # lowercase 'u' only: \UXXXXXXXX supplementary escapes are all
+    # representable and must NOT match (no (?i) — it would fold \U)
+    return s.rlike(
+        r"\\u(00[01][0-9A-Fa-f]|[Dd][89ABab][0-9A-Fa-f]{2}"
+        r"|[Ff]{3}[EeFf])")
 
 
 def _xml_escape_raw(col: Column) -> Column:

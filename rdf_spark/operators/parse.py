@@ -122,16 +122,20 @@ def sniff_format(text: str) -> str:
     are data). Checks only the document head; biased toward the
     Turtle family because Turtle subsumes N-Triples and a wrong guess
     surfaces as an error ROW, never an exception (doc_to_rows)."""
-    head = text.lstrip("﻿ \t\r\n")[:256]
+    stripped = text.lstrip("﻿ \t\r\n")
+    head = stripped[:256]
     if head.startswith(("{", "[")):
         return "jsonld"
     low = head.lower()
     # XHTML(+RDFa) pages conventionally open with an XML declaration —
-    # check for html markers BEFORE routing XML to the RDF/XML parser
-    if "<html" in low or "<!doctype" in low:
+    # check for HTML markers BEFORE routing XML to the RDF/XML parser;
+    # match '<!doctype html' specifically, because legacy RDF/XML
+    # routinely carries '<!DOCTYPE rdf:RDF [ <!ENTITY ...> ]>'
+    if "<html" in low or "<!doctype html" in low:
         return "rdfa"  # attribute markup; microdata pages go through
         # extract_pages, which probes both extractors
-    if head.startswith("<?xml") or "<rdf:RDF" in head:
+    if head.startswith("<?xml") or "<rdf:RDF" in head \
+            or low.startswith("<!doctype"):
         return "rdfxml"
     if head.startswith("<<"):
         return "ntriples-star"
@@ -142,12 +146,15 @@ def sniff_format(text: str) -> str:
     if "{" in head:
         return "trig"  # graph block with no directives
     # N-Quads: first data line is term term term term '.' with an
-    # IRI/bnode in graph position (a trailing ', <o2>' Turtle object
-    # list can fool this — the error row names the misparse)
-    first = next((ln for ln in head.splitlines()
+    # IRI/bnode in graph position. A wider window than `head` so long
+    # crawl IRIs don't cut the line mid-term; skip when a ';'
+    # predicate list marks single-line Turtle (a ', <o2>' object
+    # list can still fool this — the error row names the misparse)
+    first = next((ln for ln in stripped[:4096].splitlines()
                   if ln.strip() and not ln.lstrip().startswith("#")), "")
-    if re.match(r"\s*(<[^>]*>|_:\S+)\s+<[^>]*>\s+\S.*"
-                r"\s+(<[^>]*>|_:\S+)\s*\.\s*$", first):
+    if ";" not in first and re.match(
+            r"\s*(<[^>]*>|_:\S+)\s+<[^>]*>\s+\S.*"
+            r"\s+(<[^>]*>|_:\S+)\s*\.\s*$", first):
         return "nquads"
     return "turtle"
 

@@ -547,8 +547,8 @@ class _Parser:
                 i0 = self.i
                 expr, _ = self._operand()
                 # the variables this expression references (token
-                # scan) — the compiler defers the BIND until all of
-                # them are bound (e.g. by a later-joined OPTIONAL)
+                # scan) — the compiler nulls any reference that is
+                # out of scope at the BIND's position (spec §10)
                 deps = {t[1][1:] for t in self.toks[i0:self.i]
                         if t[0] == "VAR"}
                 self.expect_kw("AS")

@@ -136,10 +136,16 @@ def parse_rdfxml(text: str, base: str = ""):
                               "not in subset")
         handled = {_R + "resource", _R + "nodeID", _R + "datatype",
                    _R + "parseType", XML_LANG, XML_BASE}
-        extra = [k for k in pel.attrib if k not in handled]
+        xml_ns = "{http://www.w3.org/XML/1998/namespace}"
+        extra = [k for k in pel.attrib
+                 if k not in handled and k.startswith("{")
+                 and not k.startswith(xml_ns)]
         if extra:
-            # property attributes on a property element (the implicit-
-            # bnode form) are out of subset: raise, never silent drop
+            # NAMESPACED property attributes on a property element
+            # (the implicit-bnode form) are out of subset: raise,
+            # never silent drop. Unqualified attributes (HTML
+            # leftovers like class=) and xml:* are tolerated, matching
+            # the node-element path.
             raise RdfXmlError(
                 f"property attributes on property element not in "
                 f"subset: {extra}")

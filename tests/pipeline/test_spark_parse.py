@@ -188,3 +188,23 @@ def test_sniff_xhtml_quads_and_trig():
         "@prefix ex: <http://e/> .\nex:g { ex:s ex:p ex:o . }") == "trig"
     assert sniff_format(
         "<http://e/g> { <http://e/s> <http://e/p> 1 . }") == "trig"
+
+
+def test_sniff_review_regressions():
+    from rdf_spark.operators.parse import sniff_format
+
+    # DOCTYPE'd legacy RDF/XML stays rdfxml (only '<!doctype html' is
+    # an HTML marker)
+    assert sniff_format(
+        '<?xml version="1.0"?><!DOCTYPE rdf:RDF [ <!ENTITY o "x"> ]>'
+        '<rdf:RDF xmlns:rdf="r"/>') == "rdfxml"
+    assert sniff_format(
+        '<!DOCTYPE rdf:RDF SYSTEM "x"><rdf:RDF/>') == "rdfxml"
+    # one-line Turtle predicate list with an IRI tail is NOT nquads
+    assert sniff_format(
+        '<http://s> <http://p> "v1" ; <http://q> <http://o> .') \
+        == "turtle"
+    # long-IRI N-Quads line still detected (wider first-line window)
+    long_iri = "<http://example.org/" + "x" * 300 + ">"
+    assert sniff_format(
+        f"{long_iri} <http://p> <http://o> <http://g> .") == "nquads"

@@ -115,3 +115,12 @@ def test_property_attrs_on_property_element_raise():
     with pytest.raises(RdfXmlError):
         parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a">'
                      '<ex:p ex:q="v"/></rdf:Description></rdf:RDF>')
+
+
+def test_unqualified_and_xml_attrs_on_property_element_tolerated():
+    got = trip(parse_rdfxml(
+        HDR + '<rdf:Description rdf:about="http://ex/a">'
+        '<ex:p class="x" xml:space="preserve">v</ex:p>'
+        '</rdf:Description></rdf:RDF>'))
+    assert (("i", "http://ex/a"), "http://ex/p",
+            ("l", "v", None, None)) in got

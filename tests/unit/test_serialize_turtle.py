@@ -399,3 +399,15 @@ def test_serialize_rdfxml_nonascii_and_cr_roundtrip(spark):
           escape_literal_lex("x\x01y"), None, None)], SCHEMA)
     with pytest.raises(Exception, match="not serializable"):
         serialize_rdfxml(bad).collect()
+
+
+def test_serialize_rdfxml_noncharacters_raise(spark):
+    from rdf_spark.functions.serialize import serialize_rdfxml
+    from rdf_spark.terms import escape_literal_lex
+
+    # U+FFFF/U+FFFE are not XML 1.0 Chars even as &#x...; references
+    bad = spark.createDataFrame(
+        [(0, "http://ex/a", "http://ex/p", 2,
+          escape_literal_lex("x￿y"), None, None)], SCHEMA)
+    with pytest.raises(Exception, match="not serializable"):
+        serialize_rdfxml(bad).collect()
