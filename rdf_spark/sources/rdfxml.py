@@ -23,12 +23,16 @@ Scope (documented subset of the RDF/XML 1.1 syntax, deterministic):
 - ``rdf:parseType="Resource"`` -> fresh blank node whose children are
   property elements;
 - ``rdf:li`` property elements -> ``rdf:_1, _2, ...`` membership
-  predicates (per-node counter).
+  predicates (per-node counter);
+- ``rdf:parseType="Collection"`` -> an ``rdf:first``/``rdf:rest``
+  chain over the child node elements (``rdf:nil`` when empty).
 
 Out of subset (raise, never silently wrong): ``rdf:parseType``
-"Literal"/"Collection", reification attributes (``rdf:ID`` on
-property elements), ``rdf:aboutEach``/``bagID`` (obsolete). XML
-comments/PIs are ignored by the tokenizer.
+"Literal", reification attributes (``rdf:ID`` on property
+elements), ``rdf:aboutEach``/``bagID`` (obsolete), NAMESPACED
+property attributes on property elements (the implicit-bnode form;
+unqualified/xml:* attributes are tolerated). XML comments/PIs are
+ignored by the tokenizer.
 """
 
 from __future__ import annotations
@@ -122,6 +126,25 @@ def parse_rdfxml(text: str, base: str = ""):
             pred = iri(_split(pel.tag))
         ptype = pel.get(_R + "parseType")
         if ptype is not None:
+            if ptype == "Collection":
+                # children node elements -> rdf:first/rest chain
+                # (the Turtle pretty-printer re-nests these back to
+                # `( )` syntax, functions/serialize.py)
+                items = [node_element(c, lang, b) for c in pel]
+                if not items:
+                    quads.append((subj, pred, iri(RDF_NS + "nil"),
+                                  None))
+                    return
+                cells = [fresh() for _ in items]
+                quads.append((subj, pred, cells[0], None))
+                for i, (cell, item) in enumerate(zip(cells, items)):
+                    quads.append((cell, iri(RDF_NS + "first"), item,
+                                  None))
+                    rest = (cells[i + 1] if i + 1 < len(cells)
+                            else iri(RDF_NS + "nil"))
+                    quads.append((cell, iri(RDF_NS + "rest"), rest,
+                                  None))
+                return
             if ptype != "Resource":
                 raise RdfXmlError(
                     f'parseType="{ptype}" not in subset')

@@ -84,7 +84,7 @@ def test_rdf_li_membership_counters():
 def test_out_of_subset_raises():
     for body in [
         '<rdf:Description rdf:about="http://ex/a">'
-        '<ex:p rdf:parseType="Collection"/></rdf:Description>',
+        '<ex:p rdf:parseType="Literal"><b>x</b></ex:p></rdf:Description>',
         '<rdf:Description rdf:about="http://ex/a">'
         '<ex:p rdf:ID="reify">x</ex:p></rdf:Description>',
         "<broken",
@@ -124,3 +124,25 @@ def test_unqualified_and_xml_attrs_on_property_element_tolerated():
         '</rdf:Description></rdf:RDF>'))
     assert (("i", "http://ex/a"), "http://ex/p",
             ("l", "v", None, None)) in got
+
+
+def test_parsetype_collection():
+    got = trip(parse_rdfxml(HDR + """
+        <rdf:Description rdf:about="http://ex/a">
+          <ex:items rdf:parseType="Collection">
+            <rdf:Description rdf:about="http://ex/i1"/>
+            <rdf:Description rdf:about="http://ex/i2"/>
+          </ex:items>
+          <ex:empty rdf:parseType="Collection"></ex:empty>
+        </rdf:Description></rdf:RDF>"""))
+    first = RDF.rsplit("#", 1)[0] + "#first"
+    rest = RDF + "rest"
+    items = {o for s, p, o in got if p == RDF + "first"}
+    assert items == {("i", "http://ex/i1"), ("i", "http://ex/i2")}
+    # chain: head cell from subject, tail terminates at rdf:nil
+    heads = [o for s, p, o in got if p == "http://ex/items"]
+    assert len(heads) == 1 and heads[0][0] == "b"
+    assert (RDF + "nil") in {o[1] for s, p, o in got if p == rest}
+    # empty collection -> rdf:nil directly
+    assert (("i", "http://ex/a"), "http://ex/empty",
+            ("i", RDF + "nil")) in got
