@@ -479,7 +479,7 @@ def _xml_unrepresentable(col: Column) -> Column:
     # lowercase 'u' only: \UXXXXXXXX supplementary escapes are all
     # representable and must NOT match (no (?i) — it would fold \U)
     return s.rlike(
-        r"\\u(00[01][0-9A-Fa-f]|[Dd][89ABab][0-9A-Fa-f]{2}"
+        r"\\u(00[01][0-9A-Fa-f]|[Dd][89A-Fa-f][0-9A-Fa-f]{2}"
         r"|[Ff]{3}[EeFf])")
 
 

@@ -131,7 +131,7 @@ def sniff_format(text: str) -> str:
     # check for HTML markers BEFORE routing XML to the RDF/XML parser;
     # match '<!doctype html' specifically, because legacy RDF/XML
     # routinely carries '<!DOCTYPE rdf:RDF [ <!ENTITY ...> ]>'
-    if "<html" in low or "<!doctype html" in low:
+    if "<html" in low or re.search(r"<!doctype\s+html", low):
         return "rdfa"  # attribute markup; microdata pages go through
         # extract_pages, which probes both extractors
     if head.startswith("<?xml") or "<rdf:RDF" in head \
@@ -148,11 +148,12 @@ def sniff_format(text: str) -> str:
     # N-Quads: first data line is term term term term '.' with an
     # IRI/bnode in graph position. A wider window than `head` so long
     # crawl IRIs don't cut the line mid-term; skip when a ';'
-    # predicate list marks single-line Turtle (a ', <o2>' object
+    # OUTSIDE IRI/literal spans marks a Turtle predicate list (a ', <o2>' object
     # list can still fool this — the error row names the misparse)
     first = next((ln for ln in stripped[:4096].splitlines()
                   if ln.strip() and not ln.lstrip().startswith("#")), "")
-    if ";" not in first and re.match(
+    bare = re.sub(r'<[^>]*>|"(?:[^"\\]|\\.)*"', "", first)
+    if ";" not in bare and re.match(
             r"\s*(<[^>]*>|_:\S+)\s+<[^>]*>\s+\S.*"
             r"\s+(<[^>]*>|_:\S+)\s*\.\s*$", first):
         return "nquads"

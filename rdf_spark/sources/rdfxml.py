@@ -106,8 +106,9 @@ def parse_rdfxml(text: str, base: str = ""):
             if k in (_R + "aboutEach", _R + "aboutEachPrefix",
                      _R + "bagID"):
                 raise RdfXmlError(f"obsolete attribute {k!r}")
-            if k.startswith(_R) or k in (XML_LANG, XML_BASE):
-                continue
+            if k.startswith(_R) or k.startswith(
+                    "{http://www.w3.org/XML/1998/namespace}"):
+                continue  # rdf:* handled above; xml:* is never a property
             if not k.startswith("{"):
                 continue  # unqualified attribute (e.g. HTML leftovers)
             quads.append((subj, iri(_split(k)), _lit(v, None, lang), None))
@@ -124,9 +125,29 @@ def parse_rdfxml(text: str, base: str = ""):
             pred = iri(f"{RDF_NS}_{li[0]}")
         else:
             pred = iri(_split(pel.tag))
+        if pel.get(_R + "ID") is not None:
+            raise RdfXmlError("property-element reification (rdf:ID) "
+                              "not in subset")
+        handled = {_R + "resource", _R + "nodeID", _R + "datatype",
+                   _R + "parseType", XML_LANG, XML_BASE}
+        xml_ns = "{http://www.w3.org/XML/1998/namespace}"
+        extra = [k for k in pel.attrib
+                 if k not in handled and k.startswith("{")
+                 and not k.startswith(xml_ns)]
+        if extra:
+            # NAMESPACED property attributes on a property element
+            # (the implicit-bnode form) are out of subset: raise,
+            # never silent drop. Unqualified attributes (HTML
+            # leftovers like class=) and xml:* are tolerated.
+            raise RdfXmlError(
+                f"property attributes on property element not in "
+                f"subset: {extra}")
         ptype = pel.get(_R + "parseType")
         if ptype is not None:
             if ptype == "Collection":
+                if pel.text and pel.text.strip():
+                    raise RdfXmlError(
+                        "text content inside parseType=Collection")
                 # children node elements -> rdf:first/rest chain
                 # (the Turtle pretty-printer re-nests these back to
                 # `( )` syntax, functions/serialize.py)
@@ -154,24 +175,6 @@ def parse_rdfxml(text: str, base: str = ""):
             for child in pel:
                 property_element(inner, child, lang, b, ili)
             return
-        if pel.get(_R + "ID") is not None:
-            raise RdfXmlError("property-element reification (rdf:ID) "
-                              "not in subset")
-        handled = {_R + "resource", _R + "nodeID", _R + "datatype",
-                   _R + "parseType", XML_LANG, XML_BASE}
-        xml_ns = "{http://www.w3.org/XML/1998/namespace}"
-        extra = [k for k in pel.attrib
-                 if k not in handled and k.startswith("{")
-                 and not k.startswith(xml_ns)]
-        if extra:
-            # NAMESPACED property attributes on a property element
-            # (the implicit-bnode form) are out of subset: raise,
-            # never silent drop. Unqualified attributes (HTML
-            # leftovers like class=) and xml:* are tolerated, matching
-            # the node-element path.
-            raise RdfXmlError(
-                f"property attributes on property element not in "
-                f"subset: {extra}")
         res = pel.get(_R + "resource")
         nid = pel.get(_R + "nodeID")
         dt = pel.get(_R + "datatype")

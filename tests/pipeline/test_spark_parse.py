@@ -208,3 +208,18 @@ def test_sniff_review_regressions():
     long_iri = "<http://example.org/" + "x" * 300 + ">"
     assert sniff_format(
         f"{long_iri} <http://p> <http://o> <http://g> .") == "nquads"
+
+
+def test_sniff_semicolon_in_iri_and_tab_doctype():
+    from rdf_spark.operators.parse import sniff_format
+
+    # ';' INSIDE an IRI (jsessionid-style) must not suppress nquads
+    assert sniff_format(
+        "<http://ex/a;jsessionid=1> <http://p> <http://o> "
+        "<http://g> .") == "nquads"
+    # ';' outside spans (predicate list) still routes to turtle
+    assert sniff_format(
+        '<http://s> <http://p> "v" ; <http://q> <http://o> .') \
+        == "turtle"
+    # whitespace variants of the html doctype
+    assert sniff_format("<!DOCTYPE\thtml><html></html>") == "rdfa"

@@ -135,7 +135,6 @@ def test_parsetype_collection():
           </ex:items>
           <ex:empty rdf:parseType="Collection"></ex:empty>
         </rdf:Description></rdf:RDF>"""))
-    first = RDF.rsplit("#", 1)[0] + "#first"
     rest = RDF + "rest"
     items = {o for s, p, o in got if p == RDF + "first"}
     assert items == {("i", "http://ex/i1"), ("i", "http://ex/i2")}
@@ -146,3 +145,21 @@ def test_parsetype_collection():
     # empty collection -> rdf:nil directly
     assert (("i", "http://ex/a"), "http://ex/empty",
             ("i", RDF + "nil")) in got
+
+
+def test_collection_out_of_subset_and_node_xml_attrs():
+    # rdf:ID / property attributes on a Collection property element
+    # raise (checked BEFORE the parseType branch)
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a">'
+                     '<ex:p rdf:parseType="Collection" rdf:ID="r"/>'
+                     '</rdf:Description></rdf:RDF>')
+    with pytest.raises(RdfXmlError):
+        parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a">'
+                     '<ex:p rdf:parseType="Collection">text'
+                     '</ex:p></rdf:Description></rdf:RDF>')
+    # xml:* on a NODE element never becomes a garbage property triple
+    got = parse_rdfxml(HDR + '<rdf:Description rdf:about="http://ex/a" '
+                       'xml:space="preserve" ex:t="v"/></rdf:RDF>')
+    preds = {q[1][1] for q in got}
+    assert preds == {"http://ex/t"}

@@ -411,3 +411,15 @@ def test_serialize_rdfxml_noncharacters_raise(spark):
           escape_literal_lex("x￿y"), None, None)], SCHEMA)
     with pytest.raises(Exception, match="not serializable"):
         serialize_rdfxml(bad).collect()
+
+
+def test_serialize_rdfxml_low_surrogate_raises(spark):
+    from rdf_spark.functions.serialize import serialize_rdfxml
+
+    # lone low surrogate (surrogateescape-decoded crawl bytes):
+    # \uDC80 is not an XML 1.0 Char even as a character reference
+    bad = spark.createDataFrame(
+        [(0, "http://ex/a", "http://ex/p", 2, "x\\uDC80y", None, None)],
+        SCHEMA)
+    with pytest.raises(Exception, match="not serializable"):
+        serialize_rdfxml(bad).collect()
