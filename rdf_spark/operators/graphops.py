@@ -109,9 +109,13 @@ def bgp_match(
         raise ValueError("empty pattern list")
     pos_cols = {"subj": "subj", "pred": "pred", "obj": "obj_lex",
                 "graph": "graph"}
-    # with keep_kinds, an object-position variable also carries
-    # `<var>__kind/__datatype/__lang` columns (term metadata for
-    # CONSTRUCT templates); emitted once per variable across patterns
+    # with keep_kinds, a subject- or object-position variable also
+    # carries `<var>__kind/__datatype/__lang` columns (term metadata
+    # for CONSTRUCT templates — subject kind distinguishes blank
+    # nodes from IRIs so a bnode-subject binding is not re-emitted as
+    # an IRI); emitted once per variable across patterns, first
+    # position seen wins (both positions bind the same term for a
+    # shared variable, so either copy is authoritative)
     kinded: set[str] = set()
 
     def one(p):
@@ -162,19 +166,30 @@ def bgp_match(
                 else:
                     seen[var] = col
                     cols.append(F.col(col).alias(var))
-                    if keep_kinds and pos == "obj" and var not in kinded:
+                    if (keep_kinds and pos in ("subj", "obj")
+                            and var not in kinded):
                         kinded.add(var)
                         null_s = F.lit(None).cast("string")
+                        null_k = F.lit(None).cast("tinyint")
                         have = set(triples.columns)
-                        cols.extend([
-                            (F.col("obj_kind") if "obj_kind" in have
-                             else F.lit(None).cast("tinyint")
-                             ).alias(f"{var}__kind"),
-                            (F.col("obj_datatype") if "obj_datatype" in have
-                             else null_s).alias(f"{var}__datatype"),
-                            (F.col("obj_lang") if "obj_lang" in have
-                             else null_s).alias(f"{var}__lang"),
-                        ])
+                        kind_col = pos + "_kind"
+                        cols.append(
+                            (F.col(kind_col) if kind_col in have
+                             else null_k).alias(f"{var}__kind"))
+                        if pos == "obj":
+                            cols.extend([
+                                (F.col("obj_datatype")
+                                 if "obj_datatype" in have
+                                 else null_s).alias(f"{var}__datatype"),
+                                (F.col("obj_lang") if "obj_lang" in have
+                                 else null_s).alias(f"{var}__lang"),
+                            ])
+                        else:
+                            # subjects are IRI/BLANK — no datatype/lang
+                            cols.extend([
+                                null_s.alias(f"{var}__datatype"),
+                                null_s.alias(f"{var}__lang"),
+                            ])
             else:
                 df = df.where(F.col(col) == val)
         return df.select(*cols), set(seen)

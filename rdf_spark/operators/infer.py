@@ -53,14 +53,17 @@ _CORE = ("subj_kind", "subj", "pred", "obj_kind", "obj_lex",
 
 def _core(triples: DataFrame) -> DataFrame:
     """Project onto the canonical 7-column triple core, null-filling
-    metadata columns the caller's frame lacks (subj_kind defaults to
-    IRI: every parser in this repo emits it, but hand-built test
-    frames often carry only subj/pred/obj columns)."""
+    metadata columns the caller's frame lacks (subj_kind AND obj_kind
+    default to IRI: every parser in this repo emits them, but
+    hand-built test frames often carry only subj/pred/obj_lex — and a
+    null obj_kind would make the TBox ``obj_kind == IRI`` filters and
+    sameAs literal guards evaluate to NULL and silently match
+    nothing)."""
     cols = []
     for c in _CORE:
         if c in triples.columns:
             cols.append(F.col(c))
-        elif c == "subj_kind":
+        elif c in ("subj_kind", "obj_kind"):
             cols.append(F.lit(KIND_IRI).cast("tinyint").alias(c))
         else:
             cols.append(F.lit(None).cast("string").alias(c))
@@ -297,7 +300,7 @@ def sameas_components(triples: DataFrame, max_iters: int = 25) -> DataFrame:
     absent — they represent themselves."""
     from .graphalgo import connected_components
 
-    edges = triples.where(
+    edges = _core(triples).where(
         (F.col("pred") == OWL_SAMEAS) & (F.col("obj_kind") != KIND_LITERAL)
     ).select(F.col("subj").alias("src"), F.col("obj_lex").alias("dst"))
     return connected_components(edges, max_iters=max_iters).select(

@@ -31,7 +31,10 @@ the DataFrame calls by hand:
 - FILTER ?x [NOT] IN (term, ...) -> Column.isin over constant terms,
 - BIND(expr AS ?v)   -> withColumn, applied POSITIONALLY (spec §10:
   a BIND before an OPTIONAL does not see its variables — references
-  out of scope at the BIND's position evaluate to unbound/null),
+  out of scope at the BIND's position evaluate to unbound/null; a
+  target already used before the BIND raises per §10.1, and a BIND
+  written before a pattern that binds the same variable compiles to
+  an equality constraint, never an overwrite),
 - HAVING -> post-aggregate filter,
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
 - CONSTRUCT { template } -> a new triple table via one array-explode
@@ -556,13 +559,28 @@ class _Parser:
                 if vkind != "VAR":
                     raise SparqlSyntaxError("BIND needs AS ?var")
                 self.expect_punct(")")
+                # spec §10.1 syntax restriction: the BIND target must
+                # not have been used in the group before the BIND —
+                # catching it here keeps the compiler's later
+                # withColumn from silently overwriting matched values
+                in_scope = _group_vars(g)
+                tgt = vval[1:]
+                if tgt in in_scope:
+                    raise SparqlSyntaxError(
+                        f"BIND target ?{tgt} already used in the "
+                        "group before the BIND (SPARQL §10.1)")
                 # tag with the number of OPTIONALs already parsed:
                 # BIND is positional (spec §10) — it evaluates over
                 # the group-so-far, so a BIND written before an
-                # OPTIONAL must NOT see that OPTIONAL's variables
+                # OPTIONAL must NOT see that OPTIONAL's variables.
+                # scope_ok records whether every referenced variable
+                # was in scope at the BIND's textual position; if
+                # not, the expression errors -> target stays UNBOUND
+                # (joins freely with a later pattern binding it)
                 g["binds"].append((
                     expr if isinstance(expr, Column) else F.lit(expr),
-                    vval[1:], deps, len(g["optionals"])))
+                    tgt, deps, len(g["optionals"]),
+                    deps <= in_scope))
                 continue
             if kind == "KW" and val.upper() == "GRAPH":
                 self.take()
@@ -790,6 +808,35 @@ class _Parser:
                 order, limit, offset)
 
 
+def _group_vars(g: dict) -> set[str]:
+    """Variables a (possibly partially-parsed) group can bind:
+    pattern positions, VALUES names, BIND targets, UNION branches,
+    OPTIONALs, and subquery projections.  MINUS/EXISTS groups never
+    bind outer variables and are excluded.  Used for BIND's
+    already-in-scope checks at parse time."""
+    vs = set()
+    for p in g["patterns"]:
+        for t in p:
+            if isinstance(t, str) and t.startswith("?"):
+                vs.add(t[1:])
+    for names, _rows in g["values"]:
+        vs.update(names)
+    for b in g["binds"]:
+        vs.add(b[1])
+    for alt in g["unions"]:
+        vs |= _group_vars(alt)
+    for opt in g["optionals"]:
+        vs |= _group_vars(opt)
+    for sq in g["subqueries"]:
+        items = sq[1]
+        if items:
+            for it in items:
+                vs.add(it[1] if it[0] == "var" else it[-1])
+        else:  # SELECT * — projects every variable of its WHERE
+            vs |= _group_vars(sq[2])
+    return vs
+
+
 _META_SUFFIXES = ("__kind", "__datatype", "__lang")
 
 
@@ -880,15 +927,27 @@ def _compile_group(triples: DataFrame, g: dict,
     def apply_binds_at(df, k):
         """Apply the BINDs written after the k-th OPTIONAL (positional
         semantics, spec §10): a referenced variable not in scope AT
-        THE BIND'S POSITION evaluates to unbound (null) — the spec's
-        expression-error rule — even if a later OPTIONAL binds it."""
-        for expr, name, deps, tag in g["binds"]:
-            if tag == k:
-                if deps <= set(df.columns):
-                    df = df.withColumn(name, expr)
-                else:
-                    df = df.withColumn(
-                        name, F.lit(None).cast("string"))
+        THE BIND'S POSITION (scope_ok=False) evaluates to unbound
+        (null) — the spec's expression-error rule — even if a later
+        pattern or OPTIONAL binds it."""
+        for expr, name, deps, tag, scope_ok in g["binds"]:
+            if tag != k:
+                continue
+            ok = scope_ok and deps <= set(df.columns)
+            if name in df.columns:
+                # the target is also bound by the group's patterns
+                # written AFTER the BIND (prior use raises at parse
+                # time): per spec the Extend runs first and the
+                # pattern joins into it — an equality constraint on
+                # the shared variable, never an overwrite.  An
+                # expression error leaves the target unbound, which
+                # is join-compatible with anything: no constraint.
+                if ok:
+                    df = df.where(F.col(name) == expr)
+            elif ok:
+                df = df.withColumn(name, expr)
+            else:
+                df = df.withColumn(name, F.lit(None).cast("string"))
         return df
 
     out = apply_binds_at(out, 0)

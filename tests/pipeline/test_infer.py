@@ -172,3 +172,20 @@ def test_sameas_rewrite(aliased):
         (F.col("pred") == OWL_SAMEAS)
         & (F.col("obj_kind") != KIND_LITERAL)).collect()}
     assert loops == {(E + "a1", E + "a1"), (E + "b1", E + "b1")}
+
+
+def test_core_defaults_missing_obj_kind_to_iri(spark):
+    # r4 ADVICE regression: a hand-built subj/pred/obj_lex frame (no
+    # obj_kind column) must still drive TBox extraction — a null
+    # obj_kind made the == IRI filters match nothing
+    bare = spark.createDataFrame(
+        [(E + "Dog", RDFS_SUBCLASS, E + "Animal"),
+         (E + "rex", RDF_TYPE, E + "Dog"),
+         (E + "a", OWL_SAMEAS, E + "b"),
+         (E + "b", E + "name", "B")],
+        "subj string, pred string, obj_lex string")
+    got = spo(rdfs_closure(bare))
+    assert (E + "rex", RDF_TYPE, E + "Animal") in got
+    comp = {(r.node, r.representative)
+            for r in sameas_components(bare).collect()}
+    assert comp == {(E + "a", E + "a"), (E + "b", E + "a")}

@@ -661,3 +661,60 @@ def test_plan_is_relational(g, tmp_path):
     assert "CartesianProduct" not in plan2 and "NestedLoop" not in plan2
     assert "LeftSemi" in plan2 and "LeftAnti" in plan2
     assert "Union" not in plan2  # null split skipped: group is null-free
+
+
+def test_bind_before_pattern_is_join_constraint(g):
+    # r4 ADVICE regression: a BIND written BEFORE a pattern that
+    # binds the same variable is Extend-then-Join (spec §18.5) — an
+    # equality constraint on the matched values, never an overwrite
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          BIND ("Alice" AS ?n)
+          ?p ex:name ?n .
+        }"""))
+    assert got == {(E + "alice",)}
+    # an out-of-scope reference errors -> the target stays UNBOUND in
+    # the Extend, which is join-compatible with anything: the later
+    # pattern binds freely (no constraint, no overwrite)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE {
+          BIND (UCASE(?missing) AS ?n)
+          ?p a ex:Person .
+          ?p ex:name ?n .
+        }"""))
+    assert got == {(E + "alice",), (E + "bob",), (E + "carol",)}
+
+
+def test_bind_target_already_used_raises(g):
+    # spec §10.1: the BIND target must not have been used in the
+    # group before the BIND — raising beats silently overwriting
+    for bad in [
+        PFX + """SELECT ?p WHERE { ?p ex:name ?n .
+                 BIND ("Alice" AS ?n) }""",
+        PFX + """SELECT ?p WHERE { VALUES ?n { "Alice" }
+                 ?p ex:name ?n . BIND ("Bob" AS ?n) }""",
+        PFX + """SELECT ?p WHERE { ?p ex:name ?m .
+                 BIND (UCASE(?m) AS ?v) BIND ("x" AS ?v) }""",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(g, bad).collect()
+
+
+def test_construct_bnode_subject_keeps_kind(spark):
+    # r4 ADVICE regression: a blank-node subject binding must
+    # construct as a BNODE triple, not silently become an IRI
+    from rdf_spark.terms import KIND_BNODE
+    t = spark.createDataFrame(
+        [(KIND_BNODE, "b0", E + "name", KIND_LITERAL, "Anon",
+          None, None),
+         (KIND_IRI, E + "alice", E + "name", KIND_LITERAL, "Alice",
+          None, None)],
+        "subj_kind tinyint, subj string, pred string, "
+        "obj_kind tinyint, obj_lex string, obj_datatype string, "
+        "obj_lang string")
+    out = sparql_construct(t, PFX + """
+        CONSTRUCT { ?s ex:label ?n . } WHERE { ?s ex:name ?n . }""")
+    got = {(r.subj_kind, r.subj, r.obj_kind, r.obj_lex)
+           for r in out.collect()}
+    assert got == {(KIND_BNODE, "b0", KIND_LITERAL, "Anon"),
+                   (KIND_IRI, E + "alice", KIND_LITERAL, "Alice")}
