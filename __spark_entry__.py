@@ -1790,16 +1790,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sparql_update": q_kg_sparql_update,
         "kg_construct_transform": q_kg_construct_transform,
         # parsing (all six syntaxes + embedded-RDF extraction)
-        "rdf_parse_ntriples": q_rdf_parse_ntriples,
         "rdf_parse_turtle": q_rdf_parse_turtle,
-        "rdf_parse_microdata": q_rdf_parse_microdata,
         # new-in-round-4 RDF/XML-lite source; slot from
         # rdf_parse_rdfa (triple-green r1+r2+r3, tail below)
         "rdf_parse_rdfxml": q_rdf_parse_rdfxml,
+        # round-5 rotation: the last three never-driver-checked
+        # entries (landed late in round 4) promoted for hard rows;
+        # their slots come from rdf_parse_ntriples /
+        # rdf_parse_microdata (green r1+r2+r3+r4, NT also 68/68
+        # W3C) and rdf_khop (green r2+r3+r4) — all demoted to the
+        # tail, still locally oracled by test_entry_contract
+        "rdf_serialize_rdfxml": q_rdf_serialize_rdfxml,
+        "kg_pg_nodes": q_kg_pg_nodes,
+        "kg_pg_edges": q_kg_pg_edges,
         "web_page_metadata": q_web_page_metadata,
         # graph ops
         "rdf_bgp_match": q_rdf_bgp_match,
-        "rdf_khop": q_rdf_khop,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
         "rdf_dedupe": q_rdf_dedupe,
@@ -1870,9 +1876,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "rdf_predicate_histogram": q_rdf_predicate_histogram,
         "rdf_group_by_graph": q_rdf_group_by_graph,
-        "rdf_serialize_rdfxml": q_rdf_serialize_rdfxml,
-        "kg_pg_nodes": q_kg_pg_nodes,
-        "kg_pg_edges": q_kg_pg_edges,
+        "rdf_parse_ntriples": q_rdf_parse_ntriples,
+        "rdf_parse_microdata": q_rdf_parse_microdata,
+        "rdf_khop": q_rdf_khop,
         "rdf_serialize_turtle": q_rdf_serialize_turtle,
         "rdf_serialize_turtle_nested": q_rdf_serialize_turtle_nested,
         "rdf_serialize_jsonld": q_rdf_serialize_jsonld,
