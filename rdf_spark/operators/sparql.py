@@ -36,7 +36,11 @@ the DataFrame calls by hand:
   written before a pattern that binds the same variable compiles to
   an equality constraint, never an overwrite),
 - HAVING -> post-aggregate filter,
-- SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET,
+- SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET; both the
+  projection (``(?a + ?b AS ?c)``) and ASC()/DESC() accept full value
+  expressions — arithmetic (+ - * /, double-cast, unary sign) and the
+  FILTER function set; aggregates INSIDE an expression are out of
+  subset and raise,
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
 - ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
@@ -84,6 +88,7 @@ TakeOrderedAndProject when both are present.
 from __future__ import annotations
 
 import re
+import warnings
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +98,12 @@ RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 class SparqlSyntaxError(ValueError):
     """Raised for malformed or out-of-subset SPARQL text."""
+
+
+class SparqlApproximationWarning(UserWarning):
+    """Emitted when a query hits a documented approximate semantics
+    path (null-strict MINUS/EXISTS over multiple shared variables
+    where the outer group can bind null) and the exact flag is off."""
 
 
 _TOKEN_RE = re.compile(
@@ -340,8 +351,53 @@ class _Parser:
         return left  # BOUND(?x) etc. used directly as a boolean
 
     def _operand(self):
-        """-> (Column-or-python-literal, is_numeric)."""
+        """-> (Column-or-python-literal, is_numeric). Entry point of
+        the value-expression grammar: additive level (+/-) over
+        multiplicative (* /) over primaries — arithmetic casts both
+        sides to double (the FILTER numeric-comparison rule)."""
+        left, num = self._mult()
+        while True:
+            kind, val = self.peek()
+            if (kind, val) in (("PUNCT", "+"), ("PUNCT", "-")):
+                op = self.take()[1]
+                right, _ = self._mult()
+            elif kind == "NUMBER" and val[0] in "+-":
+                # the tokenizer folds a sign into the number
+                # (``?a+1`` lexes as VAR NUMBER(+1) — the SPARQL
+                # grammar has the same wart): the sign IS the operator
+                self.take()
+                op, right = val[0], val[1:]
+            else:
+                return left, num
+            lc = (left.cast("double") if isinstance(left, Column)
+                  else F.lit(float(left)))
+            rc = (right.cast("double") if isinstance(right, Column)
+                  else F.lit(float(right)))
+            left, num = (lc + rc) if op == "+" else (lc - rc), True
+
+    def _mult(self):
+        left, num = self._primary()
+        while self.peek() in (("PUNCT", "*"), ("PUNCT", "/")):
+            op = self.take()[1]
+            right, _ = self._primary()
+            lc = (left.cast("double") if isinstance(left, Column)
+                  else F.lit(float(left)))
+            rc = (right.cast("double") if isinstance(right, Column)
+                  else F.lit(float(right)))
+            left, num = (lc * rc) if op == "*" else (lc / rc), True
+        return left, num
+
+    def _primary(self):
+        """-> (Column-or-python-literal, is_numeric): one unsigned
+        value primary (the pre-arithmetic ``_operand``)."""
         kind, val = self.peek()
+        if kind == "PUNCT" and val in ("+", "-"):
+            # unary sign before a parenthesized/var operand
+            self.take()
+            inner, _ = self._primary()
+            c = (inner.cast("double") if isinstance(inner, Column)
+                 else F.lit(float(inner)))
+            return (c if val == "+" else -c), True
         if kind == "PUNCT" and val == "(":
             self.take()
             c = self._or_expr()
@@ -721,13 +777,30 @@ class _Parser:
                     select_items.append(("var", val[1:]))
                 elif (kind, val) == ("PUNCT", "("):
                     self.take()
-                    fkind, fval = self.take()
-                    fn = fval.upper()
-                    if fkind != "KW" or fn not in (
-                            "COUNT", "SUM", "AVG", "MIN", "MAX",
-                            "GROUP_CONCAT", "SAMPLE"):
-                        raise SparqlSyntaxError(
-                            f"unsupported aggregate {fval!r}")
+                    fkind, fval = self.peek()
+                    fn = fval.upper() if fkind == "KW" else None
+                    if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX",
+                                  "GROUP_CONCAT", "SAMPLE") or \
+                            self.peek(1) != ("PUNCT", "("):
+                        # (expr AS ?v) projection expression — same
+                        # grammar as BIND; references out of scope
+                        # evaluate to unbound (null) at compile time
+                        i0 = self.i
+                        expr, _ = self._operand()
+                        deps = {t[1][1:] for t in self.toks[i0:self.i]
+                                if t[0] == "VAR"}
+                        self.expect_kw("AS")
+                        akind, aval = self.take()
+                        if akind != "VAR":
+                            raise SparqlSyntaxError("AS needs a variable")
+                        self.expect_punct(")")
+                        select_items.append((
+                            "expr",
+                            expr if isinstance(expr, Column)
+                            else F.lit(expr),
+                            aval[1:], deps))
+                        continue
+                    self.take()
                     self.expect_punct("(")
                     agg_distinct = self.kw("DISTINCT")
                     if self.peek() == ("PUNCT", "*"):
@@ -787,11 +860,15 @@ class _Parser:
             while True:
                 kind, val = self.peek()
                 if kind == "KW" and val.upper() in ("ASC", "DESC"):
+                    # ASC(expr)/DESC(expr) — full value expressions
+                    # (arithmetic, string functions), not just vars
                     self.take()
                     self.expect_punct("(")
-                    v = self.take()
+                    e, _ = self._operand()
                     self.expect_punct(")")
-                    order.append((v[1][1:], val.upper() == "DESC"))
+                    order.append((
+                        e if isinstance(e, Column) else F.lit(e),
+                        val.upper() == "DESC"))
                 elif kind == "VAR":
                     self.take()
                     order.append((val[1:], False))
@@ -830,11 +907,17 @@ def _group_vars(g: dict) -> set[str]:
     for sq in g["subqueries"]:
         items = sq[1]
         if items:
-            for it in items:
-                vs.add(it[1] if it[0] == "var" else it[-1])
+            vs.update(_item_alias(it) for it in items)
         else:  # SELECT * — projects every variable of its WHERE
             vs |= _group_vars(sq[2])
     return vs
+
+
+def _item_alias(it) -> str:
+    """Output column name of one SELECT item: ('var', name) |
+    ('agg', fn, distinct, var, alias, sep) | ('expr', col, alias,
+    deps)."""
+    return it[1] if it[0] == "var" else it[4] if it[0] == "agg" else it[2]
 
 
 _META_SUFFIXES = ("__kind", "__datatype", "__lang")
@@ -868,13 +951,15 @@ def _join_bindings(out: DataFrame, inner: DataFrame, shared: list[str],
 
 def _compile_group(triples: DataFrame, g: dict,
                    path_max_rounds: int,
-                   keep_kinds: bool = False) -> DataFrame:
+                   keep_kinds: bool = False,
+                   exact_null_semantics: bool = False) -> DataFrame:
     """Compile one WHERE group dict -> a bindings DataFrame."""
     from .graphops import bgp_match
 
     out = None
     if g["unions"]:
-        alts = [_compile_group(triples, alt, path_max_rounds, keep_kinds)
+        alts = [_compile_group(triples, alt, path_max_rounds, keep_kinds,
+                               exact_null_semantics)
                 for alt in g["unions"]]
         # SPARQL UNION aligns by variable NAME; a variable absent
         # from one branch is unbound (null) there
@@ -885,7 +970,8 @@ def _compile_group(triples: DataFrame, g: dict,
         # bottom-up: the sub-select is a complete query over the same
         # graph; its projected columns are the join surface
         sub = _apply_select(
-            _compile_group(triples, sq[2], path_max_rounds, keep_kinds),
+            _compile_group(triples, sq[2], path_max_rounds, keep_kinds,
+                           exact_null_semantics),
             sq)
         if out is None:
             out = sub
@@ -952,24 +1038,58 @@ def _compile_group(triples: DataFrame, g: dict,
 
     out = apply_binds_at(out, 0)
     for n_opt, opt in enumerate(g["optionals"]):
-        inner = _compile_group(triples, opt, path_max_rounds, keep_kinds)
+        inner = _compile_group(triples, opt, path_max_rounds, keep_kinds,
+                               exact_null_semantics)
         shared = _shared_vars(out, inner)
         if not shared:
             raise SparqlSyntaxError(
                 "OPTIONAL shares no variable with the outer group")
         out = _join_bindings(out, inner, shared, how="left")
         out = apply_binds_at(out, n_opt + 1)
+    # patterns/joins alone never bind null — only OPTIONAL misses,
+    # UNION null-fill, BIND expressions, VALUES UNDEF, or a subquery
+    # can; drives the MINUS/EXISTS null-row handling below
+    nullable = bool(g["optionals"] or g["unions"] or g["binds"]
+                    or g["values"] or g["subqueries"])
     for m in g["minuses"]:
-        inner = _compile_group(triples, m, path_max_rounds, keep_kinds)
+        inner = _compile_group(triples, m, path_max_rounds, keep_kinds,
+                               exact_null_semantics)
         shared = _shared_vars(out, inner)
         if not shared:
             # SPARQL MINUS with disjoint domains removes NOTHING
             # (spec §8.3.3) — dropping rows here would be wrong
             continue
+        if len(shared) > 1 and nullable:
+            if exact_null_semantics:
+                # spec §8.3.3 exact: drop μ1 iff ∃μ2 compatible
+                # (every var bound in BOTH is equal) with overlapping
+                # domain (≥1 var bound in both).  A broadcast
+                # non-equi anti-join — only safe for broadcast-sized
+                # inner sides, which is why it sits behind the flag.
+                inr = F.broadcast(inner.select(
+                    *[F.col(v).alias(f"__m_{v}") for v in shared]
+                ).distinct())
+                compat, overlap = F.lit(True), F.lit(False)
+                for v in shared:
+                    both = (F.col(v).isNotNull()
+                            & F.col(f"__m_{v}").isNotNull())
+                    compat = compat & (
+                        ~both | (F.col(v) == F.col(f"__m_{v}")))
+                    overlap = overlap | both
+                out = out.join(inr, compat & overlap, "left_anti")
+                continue
+            warnings.warn(
+                "MINUS over multiple shared variables where the outer "
+                f"group can bind null ({shared}): partially-bound rows "
+                "use null-strict comparison (documented deviation from "
+                "spec §8.3.3); pass exact_null_semantics=True for the "
+                "exact broadcast anti-join",
+                SparqlApproximationWarning, stacklevel=2)
         out = out.join(inner.select(*shared).dropna(how="any"),
                        on=shared, how="left_anti")
     for positive, e in g["exists"]:
-        inner = _compile_group(triples, e, path_max_rounds, keep_kinds)
+        inner = _compile_group(triples, e, path_max_rounds, keep_kinds,
+                               exact_null_semantics)
         shared = _shared_vars(out, inner)
         # "does the pattern match AT ALL" probe: ONE broadcast row,
         # never a data-sized cross join
@@ -985,15 +1105,36 @@ def _compile_group(triples: DataFrame, g: dict,
             continue
         inner_k = inner.select(*shared).dropna(how="any")
         how = "left_semi" if positive else "left_anti"
-        # patterns/joins alone never bind null — only OPTIONAL misses,
-        # UNION null-fill, BIND expressions, VALUES UNDEF, or a
-        # subquery can; skip the null-row split (and its second scan
-        # of the outer) when none is present
-        nullable = bool(g["optionals"] or g["unions"] or g["binds"]
-                        or g["values"] or g["subqueries"])
         if not nullable:
+            # null-free group: plain semi/anti equi-join, no second
+            # scan of the outer
             out = out.join(inner_k, on=shared, how=how)
             continue
+        if len(shared) > 1 and exact_null_semantics:
+            # exact: a row matches iff ∃ inner row where every
+            # shared variable bound on BOTH sides is equal (an
+            # unbound side leaves the variable free).  Broadcast
+            # non-equi semi/anti join — flag-gated, inner side must
+            # be broadcast-sized.
+            inr = F.broadcast(inner.select(
+                *[F.col(v).alias(f"__e_{v}") for v in shared]
+            ).distinct())
+            compat = F.lit(True)
+            for v in shared:
+                compat = compat & (
+                    F.col(v).isNull() | F.col(f"__e_{v}").isNull()
+                    | (F.col(v) == F.col(f"__e_{v}")))
+            out = out.join(inr, compat, how)
+            continue
+        if len(shared) > 1:
+            warnings.warn(
+                f"{'EXISTS' if positive else 'NOT EXISTS'} over "
+                f"multiple shared variables {shared} where the outer "
+                "group can bind null: partially-bound rows probe "
+                "match-at-all, ignoring still-bound variables "
+                "(documented deviation); pass "
+                "exact_null_semantics=True for the exact broadcast "
+                "join", SparqlApproximationWarning, stacklevel=2)
         # a NULL shared variable is UNBOUND: it stays free inside
         # EXISTS, so the pattern matches iff it matches at all —
         # route those rows through the scalar probe instead of the
@@ -1027,7 +1168,8 @@ _AGG_FN = {
 
 
 def sparql_select(
-    triples: DataFrame, query: str, path_max_rounds: int = 16
+    triples: DataFrame, query: str, path_max_rounds: int = 16,
+    exact_null_semantics: bool = False
 ) -> DataFrame:
     """Run a SPARQL SELECT (see module docstring for the subset) over
     the canonical triple table -> one column per selected variable /
@@ -1037,9 +1179,17 @@ def sparql_select(
     hand-composed bgp_match / filter / left-join / groupBy.agg /
     orderBy chain, so aggregation gets map-side partial combine and
     ORDER+LIMIT collapse to TakeOrderedAndProject for free.
+
+    ``exact_null_semantics=True`` switches MINUS / (NOT) EXISTS over
+    multiple shared variables with a nullable outer group from the
+    null-strict approximation (which warns) to the spec-exact
+    broadcast compatibility join — only for broadcast-sized inner
+    sides (the join is non-equi, so the inner set must fit on every
+    executor).
     """
     parsed = _Parser(query).query()
-    out = _compile_group(triples, parsed[2], path_max_rounds)
+    out = _compile_group(triples, parsed[2], path_max_rounds,
+                         exact_null_semantics=exact_null_semantics)
     return _apply_select(out, parsed)
 
 
@@ -1052,8 +1202,32 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
 
     aggs = [it for it in select_items if it[0] == "agg"]
     plain = [it[1] for it in select_items if it[0] == "var"]
+    proj_exprs = [it for it in select_items if it[0] == "expr"]
     if having is not None and not (aggs or group_by):
         raise SparqlSyntaxError("HAVING requires GROUP BY or aggregates")
+
+    def apply_proj_exprs(df, strict):
+        """withColumn each (expr AS ?v) projection item.  strict
+        (post-aggregate): a reference outside the grouped columns
+        raises — it names a pre-group variable the aggregation
+        consumed.  Non-strict (plain SELECT): an out-of-scope
+        reference is the spec's expression error -> unbound/null."""
+        for _, col, alias, deps in proj_exprs:
+            if alias in df.columns:
+                raise SparqlSyntaxError(
+                    f"SELECT expression alias ?{alias} is already "
+                    "an in-scope variable (spec §18.2.4.4)")
+            if deps <= set(df.columns):
+                df = df.withColumn(alias, col)
+            elif strict:
+                missing = sorted(deps - set(df.columns))
+                raise SparqlSyntaxError(
+                    "SELECT expression references non-grouped "
+                    f"variables {missing}")
+            else:
+                df = df.withColumn(alias, F.lit(None).cast("string"))
+        return df
+
     if aggs or group_by:
         bad = sorted(set(plain) - set(group_by))
         if bad:
@@ -1094,28 +1268,35 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
                else out.agg(*exprs))
         if having is not None:  # references group vars / agg aliases
             out = out.where(having)
+        # (expr AS ?v) over the grouped result: references are group
+        # keys / aggregate aliases (aggregates INSIDE the expression
+        # are out of subset and raise in the expression grammar)
+        out = apply_proj_exprs(out, strict=True)
         if select_items:  # project in the written SELECT order
-            out = out.select(*[
-                it[1] if it[0] == "var" else it[4] for it in select_items])
+            out = out.select(*[_item_alias(it) for it in select_items])
     elif select_items:
         missing = [v for v in plain if v not in out.columns]
         if missing:
             raise SparqlSyntaxError(f"unbound SELECT variables {missing}")
+        out = apply_proj_exprs(out, strict=False)
         # carry each projected variable's term-metadata companions
         # when present (keep_kinds subqueries feeding CONSTRUCT/
         # UPDATE templates): they mirror the variable 1:1, so
         # DISTINCT semantics are unchanged
         proj = []
-        for v in plain:
+        for it in select_items:
+            v = _item_alias(it)
             proj.append(v)
-            proj.extend(f"{v}{s}" for s in _META_SUFFIXES
-                        if f"{v}{s}" in out.columns)
+            if it[0] == "var":
+                proj.extend(f"{v}{s}" for s in _META_SUFFIXES
+                            if f"{v}{s}" in out.columns)
         out = out.select(*proj)
     if distinct:
         out = out.distinct()
     if order:
         out = out.orderBy(*[
-            F.col(v).desc() if desc else F.col(v).asc()
+            (F.col(v) if isinstance(v, str) else v).desc() if desc
+            else (F.col(v) if isinstance(v, str) else v).asc()
             for v, desc in order])
     if offset:
         out = out.offset(offset)

@@ -718,3 +718,120 @@ def test_construct_bnode_subject_keeps_kind(spark):
            for r in out.collect()}
     assert got == {(KIND_BNODE, "b0", KIND_LITERAL, "Anon"),
                    (KIND_IRI, E + "alice", KIND_LITERAL, "Alice")}
+
+
+def test_select_projection_expressions(g):
+    # (expr AS ?v) in the projection: arithmetic over bindings
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n (?a * 2 + 1 AS ?v) WHERE {
+          ?p ex:name ?n ; ex:age ?a . } ORDER BY ?n"""))
+    assert got == {("Alice", 19.0), ("Bob", 81.0)}
+    # string function + written-order projection incl. the expression
+    out = sparql_select(g, PFX + """
+        SELECT (UCASE(?n) AS ?u) ?n WHERE { ?p ex:name ?n . }""")
+    assert out.columns == ["u", "n"]
+    assert ("REX", "Rex") in rows(out)
+    # out-of-scope reference in the expression -> unbound (null)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n (?nope AS ?v) WHERE { ?p ex:name ?n . }"""))
+    assert all(v is None for _, v in got) and len(got) == 4
+
+
+def test_select_expression_after_aggregate(g):
+    # expression over a grouped result: group keys + agg aliases
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p (SUM(?a) AS ?s) (?s + 100 AS ?v) WHERE {
+          ?p ex:age ?a . } GROUP BY ?p"""))
+    assert got == {(E + "alice", 9.0, 109.0), (E + "bob", 40.0, 140.0)}
+    # referencing a pre-group variable the aggregation consumed raises
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT ?p (?a + 1 AS ?v) (COUNT(?a) AS ?c) WHERE {
+              ?p ex:age ?a . } GROUP BY ?p""").collect()
+    # alias colliding with an in-scope variable raises (§18.2.4.4)
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT (?a + 1 AS ?n) WHERE {
+              ?p ex:name ?n ; ex:age ?a . }""").collect()
+
+
+def test_order_by_expressions_and_filter_arithmetic(g):
+    # DESC(expr): numeric ordering via arithmetic, not lexicographic
+    out = sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n ; ex:age ?a . }
+        ORDER BY DESC(?a * 1) LIMIT 1""")
+    assert [r.n for r in out.collect()] == ["Bob"]
+    # lexicographic would put "9" > "40"; arithmetic in FILTER too
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n ; ex:age ?a .
+          FILTER (?a - 35 > 0) }"""))
+    assert got == {("Bob",)}
+    # unary minus and the signed-number tokenizer quirk (?a+1):
+    # Bob: -40 < 40+1-50 = -9 -> true; Alice: -9 < 9+1-50 = -40 -> false
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?n WHERE { ?p ex:name ?n ; ex:age ?a .
+          FILTER (-?a < ?a+1 - 50) }"""))
+    assert got == {("Bob",)}
+
+
+# -- MINUS/EXISTS null semantics: warning + exact_null_semantics -----
+# Divergent fixture (hand-computed): outer = Person with OPTIONAL age
+# -> (alice,9) (bob,40) (carol,null); inner binds (?p,?a) via
+# "?q ex:knows ?p . ?q ex:age ?a" -> (bob,9) (carol,40).  Spec §8.3.3
+# drops carol (compatible with (carol,40): ?a unbound, dom overlap on
+# ?p); the null-strict approximation keeps her.
+
+_NULLS_OUTER = """
+    SELECT ?p WHERE {
+      ?p a ex:Person .
+      OPTIONAL { ?p ex:age ?a }
+      %s { ?q ex:knows ?p . ?q ex:age ?a %s }
+    }"""
+
+
+def test_minus_multivar_null_warns_and_exact_flag(g):
+    import warnings as _w
+    from rdf_spark.operators.sparql import SparqlApproximationWarning
+    q = PFX + _NULLS_OUTER % ("MINUS", "")
+    with pytest.warns(SparqlApproximationWarning):
+        approx = rows(sparql_select(g, q))
+    # null-strict: carol's (null ?a) row never equi-matches -> kept
+    assert approx == {(E + "alice",), (E + "bob",), (E + "carol",)}
+    with _w.catch_warnings():
+        _w.simplefilter("error", SparqlApproximationWarning)
+        exact = rows(sparql_select(g, q, exact_null_semantics=True))
+    # spec-exact: (carol, unbound ?a) is compatible with inner
+    # (carol, 40) with overlapping domain -> removed
+    assert exact == {(E + "alice",), (E + "bob",)}
+
+
+def test_exists_multivar_null_warns_and_exact_flag(g):
+    import warnings as _w
+    from rdf_spark.operators.sparql import SparqlApproximationWarning
+    # FILTER(?a < 20) shrinks inner to {(bob, 9)} so the approximate
+    # scalar probe (ignores carol's still-bound ?p) diverges
+    q = PFX + _NULLS_OUTER % ("FILTER EXISTS", ". FILTER (?a < 20)")
+    with pytest.warns(SparqlApproximationWarning):
+        approx = rows(sparql_select(g, q))
+    assert approx == {(E + "carol",)}  # match-at-all probe keeps her
+    with _w.catch_warnings():
+        _w.simplefilter("error", SparqlApproximationWarning)
+        exact = rows(sparql_select(g, q, exact_null_semantics=True))
+    assert exact == set()  # no inner row compatible with any outer row
+    # NOT EXISTS is the complement under the exact join
+    qn = PFX + _NULLS_OUTER % ("FILTER NOT EXISTS", ". FILTER (?a < 20)")
+    exact_n = rows(sparql_select(g, qn, exact_null_semantics=True))
+    assert exact_n == {(E + "alice",), (E + "bob",), (E + "carol",)}
+
+
+def test_minus_single_shared_var_does_not_warn(g):
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning -> failure
+        got = rows(sparql_select(g, PFX + """
+            SELECT ?p WHERE {
+              ?p a ex:Person .
+              OPTIONAL { ?p ex:age ?a }
+              MINUS { ?p ex:knows ?x . }
+            }"""))
+    assert got == {(E + "carol",)}
