@@ -273,6 +273,7 @@ def main() -> None:
         "doc_quality",
         "emb_topk_cosine",
         "rdf_serialize",
+        "kg_sparql_analytics",
         "tpch_q1_like",
         "evt_hourly",
     ):

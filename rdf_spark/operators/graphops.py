@@ -79,8 +79,7 @@ def bgp_match(
     string starting with ``?`` is a variable and anything else is a
     constant (IRI/literal lexical form); None is a don't-care
     wildcard. A 4-tuple requires a ``graph`` column (raises
-    otherwise) and may not use a property path (paths are evaluated
-    over the merged graph).
+    otherwise).
 
     The predicate position also accepts a SPARQL property-path
     expression (recognized by its first character ``<``, ``^``, ``!``
@@ -88,8 +87,10 @@ def bgp_match(
     that pattern's relation becomes the evaluated ``(src, dst)`` pair
     set instead of a triple scan, so `` (?a, "<broader>+/<label>",
     ?l) `` composes closures with ordinary patterns through the same
-    shared-variable equi-joins. A path pattern binds only its
-    endpoints (no predicate variable, no graph column);
+    shared-variable equi-joins. A path pattern binds its endpoints
+    (no predicate variable); in a 4-tuple a constant graph scopes
+    the path to that one named graph, and a graph VARIABLE evaluates
+    the path per named graph and binds it (eval_path_per_graph);
     ``path_max_rounds`` bounds the path's ``+``/``*`` closures (see
     paths.eval_path). Caveat: a path pattern's relation is evaluated
     over the WHOLE graph before constant-endpoint filters apply — a
@@ -128,17 +129,32 @@ def bgp_match(
         else:
             (s, pr, o), gr = p, None
         if isinstance(pr, str) and pr[:1] in ("<", "^", "!", "("):
-            if gr is not None:
-                raise ValueError(
-                    "property paths inside GRAPH patterns are not "
-                    "supported (paths run over the merged graph)")
-            from .paths import eval_path
+            from .paths import eval_path, eval_path_per_graph
 
-            pairs = eval_path(triples, pr, max_rounds=path_max_rounds)
+            gr_var = isinstance(gr, str) and gr.startswith("?")
+            if gr is None:
+                # no GRAPH clause: the path runs over the merged graph
+                pairs = eval_path(triples, pr,
+                                  max_rounds=path_max_rounds)
+            elif gr_var:
+                # GRAPH ?g: per-named-graph evaluation, ?g becomes a
+                # bound column (composite-node encoding — see
+                # paths.eval_path_per_graph)
+                pairs = eval_path_per_graph(triples, pr,
+                                            max_rounds=path_max_rounds)
+            else:
+                # GRAPH <iri>: scope the edge set (and the
+                # zero-length term universe) to that one graph
+                # BEFORE evaluation — the filter pushes into the scan
+                pairs = eval_path(triples.where(F.col("graph") == gr),
+                                  pr, max_rounds=path_max_rounds)
             df = pairs
             cols = []
             seen = {}
-            for col, val in (("src", s), ("dst", o)):
+            endpoints = [("src", s), ("dst", o)]
+            if gr_var:
+                endpoints.append(("graph", gr))
+            for col, val in endpoints:
                 if val is None:
                     continue
                 if isinstance(val, str) and val.startswith("?"):

@@ -243,3 +243,49 @@ def eval_path(
     silently under-reporting, per transitive_closure)."""
     ast = parse_path(path) if isinstance(path, str) else path
     return _eval(ast, triples, max_rounds)
+
+
+# graph-label/node separator for the composite-node encoding below.
+# NUL never occurs in a graph label (graph position holds IRIs or
+# blank-node labels, both NUL-free), and the split takes the FIRST
+# NUL, so node content after it survives verbatim.
+_GSEP = "\x00"
+
+
+def eval_path_per_graph(
+    quads: DataFrame, path: str | object, max_rounds: int = 16
+) -> DataFrame:
+    """Evaluate a property path WITHIN each named graph of a quad
+    table -> the DISTINCT ``(graph, src, dst)`` relation (SPARQL
+    ``GRAPH ?g { ?a <p>+ ?b }`` semantics: the path never crosses
+    graph boundaries, and ?g ranges over NAMED graphs only — rows
+    with a null graph label are the default graph and excluded,
+    per spec §13.3).
+
+    Composite-node encoding: each node is prefixed with its graph
+    label (``g NUL node``) and the ordinary single-graph evaluator
+    runs over the rewritten edges — an edge only ever connects
+    same-graph composites, so sequences, alternatives and the
+    pointer-doubling closures are per-graph BY CONSTRUCTION, with no
+    per-graph loop, no groupBy, and the same O(log diameter) round
+    count as the merged-graph evaluator.  The zero-length relation
+    (``*``/``?``) is likewise scoped to each graph's own term
+    universe.  One extra projection each way; no extra shuffle."""
+    named = quads.where(F.col("graph").isNotNull())
+    composite = named.select(
+        "pred",
+        F.concat(F.col("graph"), F.lit(_GSEP), F.col("subj")).alias("subj"),
+        F.concat(F.col("graph"), F.lit(_GSEP),
+                 F.col("obj_lex")).alias("obj_lex"),
+    )
+    pairs = eval_path(composite, path, max_rounds=max_rounds)
+
+    def split(col):
+        g = F.substring_index(col, _GSEP, 1)
+        node = col.substr(F.length(g) + F.lit(2), F.length(col))
+        return g, node
+
+    g, src = split(F.col("src"))
+    _, dst = split(F.col("dst"))
+    return pairs.select(g.alias("graph"), src.alias("src"),
+                        dst.alias("dst"))

@@ -60,7 +60,10 @@ Semantics notes (documented contracts, mirrored by the test oracles):
   never at 10^12 rows), as does a disconnected BGP pattern.
 - GRAPH <iri>/?g { patterns } -> graph-position constants/variables
   on quad tables (union-default-graph semantics for patterns outside
-  GRAPH, the common store configuration; paths inside GRAPH raise).
+  GRAPH, the common store configuration).  Property paths work
+  inside GRAPH: a constant graph scopes the path's edge set to that
+  graph, a graph variable evaluates the path per named graph and
+  binds it (paths never cross graph boundaries, spec §13.3).
 - MINUS compares shared variables null-strictly: an outer row whose
   shared variable is null (OPTIONAL-sourced) is never removed — the
   spec's domain-intersection rule agrees when that is the only shared

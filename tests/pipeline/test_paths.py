@@ -135,3 +135,33 @@ class TestEval:
         rows = [(f"n{i}", "p", f"n{i+1}") for i in range(9)]
         with pytest.raises(RuntimeError, match="did not converge"):
             eval_path(_triples(spark, rows), "<p>+", max_rounds=2)
+
+
+def test_eval_path_per_graph(spark):
+    from rdf_spark.operators.paths import eval_path_per_graph
+
+    E = "http://ex/"
+    quads = spark.createDataFrame(
+        [(E + "a", E + "p", E + "b", E + "g1"),
+         (E + "b", E + "p", E + "c", E + "g1"),
+         (E + "c", E + "p", E + "d", E + "g2"),
+         (E + "x", E + "p", E + "y", None)],
+        "subj string, pred string, obj_lex string, graph string")
+    plus = {(r.graph, r.src, r.dst)
+            for r in eval_path_per_graph(quads, f"<{E}p>+").collect()}
+    assert plus == {(E + "g1", E + "a", E + "b"),
+                    (E + "g1", E + "a", E + "c"),
+                    (E + "g1", E + "b", E + "c"),
+                    (E + "g2", E + "c", E + "d")}
+    # '*' zero-length identity is scoped to EACH graph's term
+    # universe: a self-matches only in g1; c occurs in both graphs
+    # (object in g1, subject in g2) so it self-matches in both
+    star = {(r.graph, r.src, r.dst)
+            for r in eval_path_per_graph(quads, f"<{E}p>*").collect()}
+    assert star >= plus
+    idents = star - plus
+    assert (E + "g1", E + "a", E + "a") in idents
+    assert (E + "g2", E + "a", E + "a") not in idents
+    assert (E + "g1", E + "c", E + "c") in idents
+    assert (E + "g2", E + "c", E + "c") in idents
+    assert not any(g is None for g, _, _ in star)

@@ -835,3 +835,38 @@ def test_minus_single_shared_var_does_not_warn(g):
               MINUS { ?p ex:knows ?x . }
             }"""))
     assert got == {(E + "carol",)}
+
+
+def test_graph_scoped_property_paths(spark):
+    # g1 holds a->b->c, g2 holds c->d, default graph holds x->y:
+    # hand-computed closure-join oracle per graph below
+    quads = spark.createDataFrame(
+        [(E + "a", E + "p", 0, E + "b", E + "g1"),
+         (E + "b", E + "p", 0, E + "c", E + "g1"),
+         (E + "c", E + "p", 0, E + "d", E + "g2"),
+         (E + "x", E + "p", 0, E + "y", None)],
+        "subj string, pred string, obj_kind tinyint, obj_lex string, "
+        "graph string")
+    # constant graph: the closure is scoped to g1's edges AND g1's
+    # term universe — never reaches d through g2's edge
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?s ?o WHERE { GRAPH <http://ex/g1> { ?s ex:p+ ?o . } }"""))
+    assert got == {(E + "a", E + "b"), (E + "a", E + "c"),
+                   (E + "b", E + "c")}
+    # variable graph: per-named-graph closure with ?g bound; the
+    # default-graph (null label) edge is excluded (spec 13.3)
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s ex:p+ ?o . } }"""))
+    assert got == {(E + "g1", E + "a", E + "b"),
+                   (E + "g1", E + "a", E + "c"),
+                   (E + "g1", E + "b", E + "c"),
+                   (E + "g2", E + "c", E + "d")}
+    # sanity: WITHOUT a GRAPH clause the merged-graph path crosses
+    # the g1/g2 boundary (a reaches d) — the scoping above is real
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?s ?o WHERE { ?s ex:p+ ?o . }"""))
+    assert (E + "a", E + "d") in got
+    # path + ordinary pattern sharing the graph variable
+    got = rows(sparql_select(quads, PFX + """
+        SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:p+ ?o . } }"""))
+    assert got == {(E + "g1", E + "b"), (E + "g1", E + "c")}
