@@ -106,9 +106,20 @@ class PipelineRun:
 
     def run(self, pages: DataFrame, dictionary: DataFrame | None = None,
             from_html: bool = True, fail_after_bucket: int | None = None,
-            text_format: str = "turtle") -> dict:
+            text_format: str = "turtle",
+            bucketed_table: str | None = None,
+            table_buckets: int = 16) -> dict:
         """Process all buckets not yet in the watermark table.
-        `fail_after_bucket` injects a crash for the resume test."""
+        `fail_after_bucket` injects a crash for the resume test.
+
+        ``bucketed_table`` (opt-in): once EVERY checkpoint bucket is
+        complete, additionally materialize the full output as a
+        subj-bucketed+sorted catalog table (plans/bucketed.py) so
+        downstream subj-keyed consumers — BGP star joins, PO maps,
+        property-graph export — read a zero-Exchange layout. One
+        extra shuffle by subj at the end of the run; skipped (like
+        the data buckets) when the run resumed with nothing to do
+        AND the table already exists."""
         done = self.completed_buckets()
         stats = {"processed": [], "skipped": sorted(done), "triples_out": 0}
         bucketed = pages.withColumn(
@@ -156,7 +167,27 @@ class PipelineRun:
             stats["triples_out"] += triples_out
             if fail_after_bucket is not None and b >= fail_after_bucket:
                 raise RuntimeError(f"injected failure after bucket {b}")
+        if bucketed_table is not None and \
+                self.completed_buckets() >= set(range(self.n_buckets)):
+            if stats["processed"] or not self.spark.catalog.tableExists(
+                    bucketed_table):
+                self.finalize_bucketed(bucketed_table,
+                                       n_buckets=table_buckets)
         return stats
+
+    def finalize_bucketed(self, table: str, n_buckets: int = 16,
+                          path: str | None = None) -> DataFrame:
+        """Rewrite the completed triple output as a subj-bucketed
+        catalog table (same schema as :meth:`read_output`, incl. the
+        ``part`` checkpoint-provenance column) and return the
+        bucketing-aware reader. Idempotent: overwrites the table."""
+        from .bucketed import read_bucketed_triples, write_bucketed_triples
+
+        if path is None:
+            path = os.path.join(self.out_dir, "triples_bucketed")
+        write_bucketed_triples(self.read_output(), table,
+                               n_buckets=n_buckets, path=path)
+        return read_bucketed_triples(self.spark, table)
 
     def read_output(self) -> DataFrame:
         return self.spark.read.parquet(self.data_dir)

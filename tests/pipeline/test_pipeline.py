@@ -83,3 +83,41 @@ def test_lineage_recorded(spark, tmp_path):
     assert sum(x["docs_in"] for x in lineage) == 40
     assert all(x["triples_out"] > 0 for x in lineage)
     assert sum(x["docs_failed"] for x in lineage) >= 1  # malformed fixtures
+
+
+def test_bucketed_table_finalize_star_join(spark, pages, tmp_path):
+    """bucketed_table= opt-in: after all checkpoint buckets complete,
+    the pipeline materializes a subj-bucketed catalog table; a BGP
+    star self-join over the pipeline's OWN output must then plan with
+    zero Exchange (the co-located-join lever on the flagship output)."""
+    from pyspark.sql import functions as F
+
+    table = "t_pipeline_bucketed_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    p = PipelineRun(spark, str(tmp_path / "b"), n_buckets=2, run_id="b")
+    try:
+        stats = p.run(pages, bucketed_table=table, table_buckets=4)
+        assert stats["processed"] == [0, 1]
+        t = spark.table(table)
+        # same rows as the plain checkpoint output
+        assert _normalized(t) == _normalized(p.read_output())
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            a = t.alias("a")
+            b = t.alias("b")
+            j = a.join(b, F.col("a.subj") == F.col("b.subj")).select(
+                F.col("a.pred"), F.col("b.pred"))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        # a resumed run with nothing to do leaves the table alone
+        # (no re-shuffle) but a fresh-processed run refreshes it
+        stats2 = PipelineRun(spark, str(tmp_path / "b"), n_buckets=2,
+                             run_id="b2").run(pages, bucketed_table=table)
+        assert stats2["processed"] == []
+        assert _normalized(spark.table(table)) == _normalized(p.read_output())
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
