@@ -19,7 +19,16 @@ processor, only the node-level @id/@value/@language/@type mapping):
   parser kernel must not fetch the network, documented heuristic;
 - values: node objects ({"@id"}/{"@value","@language","@type"}),
   plain strings/numbers/booleans (typed per XSD), arrays fan out,
-  nested objects recurse.
+  nested objects recurse;
+- ``@list``: both the value form ``{"@list": [...]}`` and a term
+  definition with ``"@container": "@list"`` expand to an
+  ``rdf:first``/``rdf:rest`` chain (``rdf:nil`` when empty) — the
+  same chain shape the RDF/XML source emits for
+  ``parseType="Collection"`` (sources/rdfxml.py:147) and the Turtle
+  pretty-printer re-nests to ``( )``; element coercion (``@type``
+  in the term definition) applies to the list items, per JSON-LD
+  1.1 expansion. schema.org breadcrumb/ItemList markup is the
+  motivating shape.
 """
 
 from __future__ import annotations
@@ -39,6 +48,9 @@ class JsonLdError(ValueError):
     pass
 
 
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
 def _node_term(v, ctx, counter, base):
     """Value -> term, mirroring node.go fromObject for node objects."""
     if isinstance(v, bool):
@@ -50,6 +62,8 @@ def _node_term(v, ctx, counter, base):
     if isinstance(v, str):
         return ("l", escape_literal_lex(v), None, None), []
     if isinstance(v, dict):
+        if "@list" in v:
+            return _list_chain(_list_items(v), ctx, counter, base, None)
         if "@value" in v:
             val = v["@value"]
             lex = (escape_literal_lex(val) if isinstance(val, str)
@@ -68,6 +82,58 @@ def _node_term(v, ctx, counter, base):
         subj, triples = _object_triples(v, ctx, counter, base)
         return subj, triples
     raise JsonLdError(f"unsupported JSON-LD value: {v!r}")
+
+
+def _list_items(v: dict) -> list:
+    """Validate a ``{"@list": [...]}`` value object, return its items."""
+    if set(v) - {"@list"}:
+        raise JsonLdError(
+            f"@list with sibling keys not in subset: {sorted(v)}")
+    items = v["@list"]
+    if not isinstance(items, list):
+        raise JsonLdError(f"@list value not an array: {items!r}")
+    return items
+
+
+def _value_term(val, ctx, counter, base, coerce):
+    """One array element -> (term, extra_triples), applying the term
+    definition's ``@type`` coercion (element-wise, so list items under
+    a coercing term coerce too)."""
+    if isinstance(val, str) and coerce == "@id":
+        # term definition coerces string values to IRI refs
+        # (document-relative resolution, never @vocab)
+        if val.startswith("_:"):
+            return ("b", val[2:]), []
+        return ("i", _expand_ref(val, ctx, base)), []
+    if (isinstance(val, str) and isinstance(coerce, str)
+            and not coerce.startswith("@")):
+        # datatype coercion stamps the literal
+        return ("l", escape_literal_lex(val),
+                _expand(coerce, ctx), None), []
+    return _node_term(val, ctx, counter, base)
+
+
+def _list_chain(items, ctx, counter, base, coerce):
+    """Array -> ``rdf:first``/``rdf:rest`` cell chain; returns
+    (head term, chain triples). Empty -> ``rdf:nil`` with no cells —
+    the same shape rdfxml.py:147-167 emits for
+    ``parseType="Collection"``. Nested arrays/``@list`` values recurse
+    through :func:`_value_term` -> :func:`_node_term`."""
+    if not items:
+        return ("i", RDF_NS + "nil"), []
+    cells = []
+    for _ in items:
+        counter[0] += 1
+        cells.append(("b", f"j{counter[0]}"))
+    triples = []
+    for i, (cell, item) in enumerate(zip(cells, items)):
+        term, extra = _value_term(item, ctx, counter, base, coerce)
+        triples.extend(extra)
+        triples.append((cell, ("i", RDF_NS + "first"), term))
+        rest = (cells[i + 1] if i + 1 < len(cells)
+                else ("i", RDF_NS + "nil"))
+        triples.append((cell, ("i", RDF_NS + "rest"), rest))
+    return cells[0], triples
 
 
 def _ctx_iri(entry):
@@ -159,21 +225,30 @@ def _object_triples(obj: dict, ctx: dict, counter: list, base: str = ""):
         pred = ("i", _expand(k, local_ctx))
         tdef = local_ctx.get(k)
         coerce = tdef.get("@type") if isinstance(tdef, dict) else None
+        container = (tdef.get("@container")
+                     if isinstance(tdef, dict) else None)
+        if container == "@list" and not (
+                isinstance(v, dict) and "@list" in v):
+            # @container:@list makes the whole array ONE list value
+            # (a bare value is a 1-element list, JSON-LD expansion);
+            # an explicit {"@list": ...} under the term falls through
+            # to the value loop so it isn't double-wrapped.
+            items = v if isinstance(v, list) else [v]
+            term, extra = _list_chain(items, local_ctx, counter, base,
+                                      coerce)
+            triples.extend(extra)
+            triples.append((subj, pred, term))
+            continue
         vals = v if isinstance(v, list) else [v]
         for val in vals:
-            if isinstance(val, str) and coerce == "@id":
-                # term definition coerces string values to IRI refs
-                # (document-relative resolution, never @vocab)
-                term = (("b", val[2:]) if val.startswith("_:")
-                        else ("i", _expand_ref(val, local_ctx, base)))
-            elif (isinstance(val, str) and isinstance(coerce, str)
-                    and not coerce.startswith("@")):
-                # datatype coercion stamps the literal
-                term = ("l", escape_literal_lex(val),
-                        _expand(coerce, local_ctx), None)
+            if isinstance(val, dict) and "@list" in val:
+                # value-form list: coerce elements per the term def
+                term, extra = _list_chain(
+                    _list_items(val), local_ctx, counter, base, coerce)
             else:
-                term, extra = _node_term(val, local_ctx, counter, base)
-                triples.extend(extra)
+                term, extra = _value_term(val, local_ctx, counter,
+                                          base, coerce)
+            triples.extend(extra)
             triples.append((subj, pred, term))
     return subj, triples
 

@@ -223,3 +223,41 @@ def test_sniff_semicolon_in_iri_and_tab_doctype():
         == "turtle"
     # whitespace variants of the html doctype
     assert sniff_format("<!DOCTYPE\thtml><html></html>") == "rdfa"
+
+
+def test_jsonld_breadcrumb_list_auto(spark):
+    """schema.org breadcrumb-style @list markup through the auto
+    sniffer: the rdf:first/rest chain survives the vectorized Spark
+    parse path end-to-end (VERDICT r4 ask #8)."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    doc = (
+        '{"@context": "https://schema.org", '
+        '"@id": "http://site.example/recipe", '
+        '"@type": "BreadcrumbList", '
+        '"itemListElement": {"@list": ['
+        '{"@id": "http://site.example/"}, '
+        '{"@id": "http://site.example/recipes"}, '
+        '"Chocolate Cake"]}}')
+    pages = spark.createDataFrame(
+        [("http://site.example/recipe", doc)], "url string, text string")
+    t = good_triples(parse_pages(pages, default_format="auto"))
+    rows = t.select("subj", "subj_kind", "pred", "obj_lex",
+                    "obj_kind").collect()
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    firsts = {r["subj"]: (r["obj_lex"], r["obj_kind"]) for r in rows
+              if r["pred"] == rdf_ns + "first"}
+    rests = {r["subj"]: r["obj_lex"] for r in rows
+             if r["pred"] == rdf_ns + "rest"}
+    head = [r["obj_lex"] for r in rows
+            if r["pred"] == "https://schema.org/itemListElement"]
+    assert len(head) == 1
+    items, cur = [], head[0]
+    while cur != rdf_ns + "nil":
+        items.append(firsts[cur])
+        cur = rests[cur]
+    from rdf_spark.terms import KIND_IRI, KIND_LITERAL
+
+    assert items == [("http://site.example/", KIND_IRI),
+                     ("http://site.example/recipes", KIND_IRI),
+                     ("Chocolate Cake", KIND_LITERAL)]

@@ -338,3 +338,96 @@ def test_jsonld_relative_id_resolves_against_base_not_vocab():
     assert (("i", "http://crawl.example/dir/rel-subj"),
             "http://ex/knows",
             ("i", "http://crawl.example/dir/bob")) in trip
+
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+
+
+def _walk_list(quads, head):
+    """Follow an rdf:first/rest chain from ``head``, return the items."""
+    firsts = {q[0]: q[2] for q in quads if q[1] == ("i", RDF_NS + "first")}
+    rests = {q[0]: q[2] for q in quads if q[1] == ("i", RDF_NS + "rest")}
+    items = []
+    while head != ("i", RDF_NS + "nil"):
+        items.append(firsts[head])
+        head = rests[head]
+    return items
+
+
+def test_jsonld_list_value_form():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = ('{"@id": "http://ex/a", "http://ex/seq": '
+           '{"@list": ["x", 2, {"@id": "http://ex/b"}]}}')
+    got = parse_jsonld(doc)
+    heads = [q[2] for q in got if q[1] == ("i", "http://ex/seq")]
+    assert len(heads) == 1 and heads[0][0] == "b"
+    assert _walk_list(got, heads[0]) == [
+        ("l", "x", None, None),
+        ("l", "2", "http://www.w3.org/2001/XMLSchema#integer", None),
+        ("i", "http://ex/b"),
+    ]
+    # each cell has exactly one first and one rest
+    cells = {q[0] for q in got if q[1] == ("i", RDF_NS + "first")}
+    assert len(cells) == 3
+
+
+def test_jsonld_list_container_term_with_coercion():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = """{
+      "@context": {
+        "steps": {"@id": "http://ex/steps", "@type": "@id",
+                  "@container": "@list"}
+      },
+      "@id": "http://ex/a",
+      "steps": ["http://ex/s1", "http://ex/s2"]
+    }"""
+    got = parse_jsonld(doc)
+    head = [q[2] for q in got if q[1] == ("i", "http://ex/steps")][0]
+    # element coercion applies INSIDE the list
+    assert _walk_list(got, head) == [
+        ("i", "http://ex/s1"), ("i", "http://ex/s2")]
+
+    # a bare (non-array) value under @container:@list is a 1-element list
+    doc1 = doc.replace('["http://ex/s1", "http://ex/s2"]',
+                       '"http://ex/solo"')
+    got1 = parse_jsonld(doc1)
+    head1 = [q[2] for q in got1 if q[1] == ("i", "http://ex/steps")][0]
+    assert _walk_list(got1, head1) == [("i", "http://ex/solo")]
+
+
+def test_jsonld_empty_list_is_nil():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = '{"@id": "http://ex/a", "http://ex/seq": {"@list": []}}'
+    got = parse_jsonld(doc)
+    assert (("i", "http://ex/a"), ("i", "http://ex/seq"),
+            ("i", RDF_NS + "nil"), None) in got
+    assert not [q for q in got if q[1] == ("i", RDF_NS + "first")]
+
+
+def test_jsonld_list_nested_and_node_objects():
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = ('{"@id": "http://ex/a", "http://ex/seq": '
+           '{"@list": [{"@list": ["inner"]}, '
+           '{"http://ex/name": "nested-node"}]}}')
+    got = parse_jsonld(doc)
+    head = [q[2] for q in got if q[1] == ("i", "http://ex/seq")][0]
+    outer = _walk_list(got, head)
+    assert len(outer) == 2
+    assert _walk_list(got, outer[0]) == [("l", "inner", None, None)]
+    assert (outer[1], ("i", "http://ex/name"),
+            ("l", "nested-node", None, None), None) in got
+
+
+def test_jsonld_list_sibling_keys_raise():
+    import pytest
+
+    from rdf_spark.sources.jsonld import JsonLdError, parse_jsonld
+
+    doc = ('{"@id": "http://ex/a", "http://ex/p": '
+           '{"@list": [], "@id": "http://ex/b"}}')
+    with pytest.raises(JsonLdError):
+        parse_jsonld(doc)
