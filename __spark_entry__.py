@@ -769,21 +769,24 @@ def q_kg_sparql_analytics(spark, sf_dir):
     partial count), FILTER EXISTS (left-semi: region has an 'A'
     nation) and MINUS (left-anti: drop regions holding a long-named
     nation) — all equi-joins on ?r, no cartesian anywhere
-    (operators/sparql.py). Oracle replays the algebra as correlated
-    EXISTS/NOT EXISTS SQL over nation."""
+    (operators/sparql.py); round-5 widening: an arithmetic value
+    expression in the projection (``(?cnt * 10 - 1 AS ?score)``) and
+    an ORDER BY DESC() over the same expression (numeric sort), both
+    through the compiled Column builder. Oracle replays the algebra
+    as correlated EXISTS/NOT EXISTS SQL over nation."""
     from rdf_spark.operators.sparql import sparql_select
 
     t = _parsed_nation_triples(spark, sf_dir)
     return sparql_select(t, """
         PREFIX ex: <http://ex/>
-        SELECT ?r ?cnt WHERE {
+        SELECT ?r ?cnt (?cnt * 10 - 1 AS ?score) WHERE {
           { SELECT ?r (COUNT(?n) AS ?cnt) WHERE { ?n ex:inRegion ?r . }
             GROUP BY ?r }
           FILTER EXISTS { ?m ex:inRegion ?r ; ex:name ?nm .
                           FILTER (CONTAINS(?nm, "A")) }
           MINUS { ?b ex:inRegion ?r ; ex:name ?bn .
                   FILTER (STRLEN(?bn) > 12) }
-        }""")
+        } ORDER BY DESC(?cnt * 10 - 1) ?r""")
 
 
 def q_kg_sparql_update(spark, sf_dir):
@@ -2417,13 +2420,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'http://ex/r' || n_regionkey AS r,
                        CAST(count(*) AS BIGINT) AS cnt
                 FROM nation GROUP BY 1)
-            SELECT r, cnt FROM per
+            -- DOUBLE: the SPARQL builder's documented arithmetic rule
+            -- (operands are lexical strings -> double-cast both sides)
+            SELECT r, cnt, CAST(cnt * 10 - 1 AS DOUBLE) AS score FROM per
             WHERE EXISTS (SELECT 1 FROM nation m
                           WHERE 'http://ex/r' || m.n_regionkey = per.r
                             AND contains(m.n_name, 'A'))
               AND NOT EXISTS (SELECT 1 FROM nation b
                               WHERE 'http://ex/r' || b.n_regionkey = per.r
                                 AND length(b.n_name) > 12)
+            ORDER BY score DESC, r
         """,
         "rdf_parse_rdfxml": _NATION_TRIPLES_ORACLE,
         # property-graph export: nations carry one label + one literal
