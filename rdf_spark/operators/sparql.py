@@ -353,6 +353,18 @@ class _Parser:
             raise SparqlSyntaxError("literal is not a boolean filter")
         return left  # BOUND(?x) etc. used directly as a boolean
 
+    def _as_double(self, v):
+        """Arithmetic operand -> double Column; a non-numeric python
+        literal (string/IRI in + - * /) is an in-query type error ->
+        SparqlSyntaxError, never a bare ValueError."""
+        if isinstance(v, Column):
+            return v.cast("double")
+        try:
+            return F.lit(float(v))
+        except (TypeError, ValueError):
+            raise SparqlSyntaxError(
+                f"non-numeric operand in arithmetic: {v!r}")
+
     def _operand(self):
         """-> (Column-or-python-literal, is_numeric). Entry point of
         the value-expression grammar: additive level (+/-) over
@@ -367,28 +379,34 @@ class _Parser:
             elif kind == "NUMBER" and val[0] in "+-":
                 # the tokenizer folds a sign into the number
                 # (``?a+1`` lexes as VAR NUMBER(+1) — the SPARQL
-                # grammar has the same wart): the sign IS the operator
+                # grammar has the same wart): the sign IS the
+                # operator, and grammar [116] lets the signed number
+                # carry its own multiplicative tail (``?a+1*2``), so
+                # consume that before combining.
                 self.take()
-                op, right = val[0], val[1:]
+                op = val[0]
+                right, _ = self._mult_tail(val[1:])
             else:
                 return left, num
-            lc = (left.cast("double") if isinstance(left, Column)
-                  else F.lit(float(left)))
-            rc = (right.cast("double") if isinstance(right, Column)
-                  else F.lit(float(right)))
+            lc, rc = self._as_double(left), self._as_double(right)
             left, num = (lc + rc) if op == "+" else (lc - rc), True
 
     def _mult(self):
         left, num = self._primary()
+        left, changed = self._mult_tail(left)
+        return left, num or changed
+
+    def _mult_tail(self, left):
+        """Consume ``('*' | '/') primary`` repetitions onto ``left``;
+        -> (result, consumed_any)."""
+        changed = False
         while self.peek() in (("PUNCT", "*"), ("PUNCT", "/")):
             op = self.take()[1]
             right, _ = self._primary()
-            lc = (left.cast("double") if isinstance(left, Column)
-                  else F.lit(float(left)))
-            rc = (right.cast("double") if isinstance(right, Column)
-                  else F.lit(float(right)))
-            left, num = (lc * rc) if op == "*" else (lc / rc), True
-        return left, num
+            lc, rc = self._as_double(left), self._as_double(right)
+            left = (lc * rc) if op == "*" else (lc / rc)
+            changed = True
+        return left, changed
 
     def _primary(self):
         """-> (Column-or-python-literal, is_numeric): one unsigned
@@ -398,8 +416,7 @@ class _Parser:
             # unary sign before a parenthesized/var operand
             self.take()
             inner, _ = self._primary()
-            c = (inner.cast("double") if isinstance(inner, Column)
-                 else F.lit(float(inner)))
+            c = self._as_double(inner)
             return (c if val == "+" else -c), True
         if kind == "PUNCT" and val == "(":
             self.take()
@@ -1030,9 +1047,13 @@ def _compile_group(triples: DataFrame, g: dict,
                 # pattern joins into it — an equality constraint on
                 # the shared variable, never an overwrite.  An
                 # expression error leaves the target unbound, which
-                # is join-compatible with anything: no constraint.
+                # is join-compatible with anything: no constraint —
+                # including at RUNTIME (expr null on this row, e.g. a
+                # referenced OPTIONAL var missing), hence the isNull
+                # escape alongside the equality.
                 if ok:
-                    df = df.where(F.col(name) == expr)
+                    df = df.where((F.col(name) == expr)
+                                  | expr.isNull())
             elif ok:
                 df = df.withColumn(name, expr)
             else:

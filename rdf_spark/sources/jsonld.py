@@ -36,6 +36,11 @@ from __future__ import annotations
 import json
 
 from ..terms import (
+    RDF_FIRST,
+    RDF_NIL,
+    RDF_NS,
+    RDF_REST,
+    RDF_TYPE,
     XSD_BOOLEAN,
     XSD_DOUBLE,
     XSD_INTEGER,
@@ -46,9 +51,6 @@ from ..terms import (
 
 class JsonLdError(ValueError):
     pass
-
-
-RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 
 
 def _node_term(v, ctx, counter, base):
@@ -120,7 +122,7 @@ def _list_chain(items, ctx, counter, base, coerce):
     ``parseType="Collection"``. Nested arrays/``@list`` values recurse
     through :func:`_value_term` -> :func:`_node_term`."""
     if not items:
-        return ("i", RDF_NS + "nil"), []
+        return ("i", RDF_NIL), []
     cells = []
     for _ in items:
         counter[0] += 1
@@ -129,10 +131,10 @@ def _list_chain(items, ctx, counter, base, coerce):
     for i, (cell, item) in enumerate(zip(cells, items)):
         term, extra = _value_term(item, ctx, counter, base, coerce)
         triples.extend(extra)
-        triples.append((cell, ("i", RDF_NS + "first"), term))
+        triples.append((cell, ("i", RDF_FIRST), term))
         rest = (cells[i + 1] if i + 1 < len(cells)
-                else ("i", RDF_NS + "nil"))
-        triples.append((cell, ("i", RDF_NS + "rest"), rest))
+                else ("i", RDF_NIL))
+        triples.append((cell, ("i", RDF_REST), rest))
     return cells[0], triples
 
 
@@ -157,8 +159,12 @@ def _merge_context(base: dict, raw) -> dict:
             ctx["@vocab"] = member.rstrip("/#") + "/"
         elif isinstance(member, dict):
             for k, v in member.items():
+                # keep @container-only term definitions too (the IRI
+                # then comes from @vocab/CURIE expansion) — dropping
+                # them would silently flatten @list containers
                 if isinstance(v, str) or (
-                        isinstance(v, dict) and "@id" in v):
+                        isinstance(v, dict)
+                        and ("@id" in v or "@container" in v)):
                     ctx[k] = v
     return ctx
 
@@ -218,7 +224,7 @@ def _object_triples(obj: dict, ctx: dict, counter: list, base: str = ""):
                 types = v if isinstance(v, list) else [v]
                 for t in types:
                     triples.append(
-                        (subj, ("i", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+                        (subj, ("i", RDF_TYPE),
                          ("i", _expand(t, local_ctx)))
                     )
             continue
@@ -227,6 +233,9 @@ def _object_triples(obj: dict, ctx: dict, counter: list, base: str = ""):
         coerce = tdef.get("@type") if isinstance(tdef, dict) else None
         container = (tdef.get("@container")
                      if isinstance(tdef, dict) else None)
+        if isinstance(container, list):
+            # spec-legal array form, e.g. ["@list"]
+            container = "@list" if "@list" in container else None
         if container == "@list" and not (
                 isinstance(v, dict) and "@list" in v):
             # @container:@list makes the whole array ONE list value

@@ -870,3 +870,48 @@ def test_graph_scoped_property_paths(spark):
     got = rows(sparql_select(quads, PFX + """
         SELECT ?g ?o WHERE { GRAPH ?g { ex:a ex:p+ ?o . } }"""))
     assert got == {(E + "g1", E + "b"), (E + "g1", E + "c")}
+
+
+def test_bind_runtime_null_imposes_no_constraint(g):
+    # r5 review: BIND whose expression is null AT RUNTIME (referenced
+    # OPTIONAL var missing on the row) leaves the target unbound —
+    # join-compatible with the later pattern, so the row SURVIVES
+    # with the pattern's value (spec Extend-error rule), it is not
+    # dropped by a null equality constraint.
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?p ?m WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:knows ?k }
+          BIND (?k AS ?m)
+          ?p ex:name ?m .
+        }"""))
+    # alice/bob: ?k bound to an IRI != their name literal -> the
+    # equality constraint rightly drops them; carol: ?k unbound ->
+    # no constraint, pattern binds ?m freely
+    assert got == {(E + "carol", "carol lower")}
+
+
+def test_signed_number_carries_multiplicative_tail(g):
+    # r5 review: grammar [116] — after a sign-folded numeric literal
+    # (?a+1 lexing as VAR NUMBER(+1)) the multiplicative tail must
+    # still be consumed: ?a+1*2 is ?a + (1*2), not a parse error.
+    dense = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE { ?p ex:age ?a . FILTER (?a+1*2 > 11) }"""))
+    spaced = rows(sparql_select(g, PFX + """
+        SELECT ?p WHERE { ?p ex:age ?a . FILTER (?a + 1 * 2 > 11) }"""))
+    assert dense == spaced == {(E + "bob",)}  # 40+2=42 ; 9+2=11 !> 11
+    proj = rows(sparql_select(g, PFX + """
+        SELECT ?p (?a+1*2 AS ?x) WHERE { ?p ex:age ?a . }"""))
+    assert proj == {(E + "alice", 11.0), (E + "bob", 42.0)}
+
+
+def test_non_numeric_arithmetic_operand_raises_sparql_error(g):
+    # r5 review: a string/IRI operand in + - * / is a structured
+    # SparqlSyntaxError, never a bare ValueError out of float()
+    for bad in [
+        'SELECT ?p WHERE { ?p ex:age ?a . FILTER ("abc" + ?a > 0) }',
+        'SELECT ?p WHERE { ?p ex:age ?a . FILTER (?a * "x" > 0) }',
+        'SELECT ?p WHERE { ?p ex:age ?a . FILTER (-"abc" > 0) }',
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(g, PFX + bad).collect()

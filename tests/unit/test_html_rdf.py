@@ -431,3 +431,26 @@ def test_jsonld_list_sibling_keys_raise():
            '{"@list": [], "@id": "http://ex/b"}}')
     with pytest.raises(JsonLdError):
         parse_jsonld(doc)
+
+
+def test_jsonld_container_list_without_id_via_vocab():
+    # r5 review: a term definition carrying ONLY @container (IRI from
+    # @vocab) must still make an rdf:first/rest chain — the context
+    # merge may not drop @id-less term definitions; and the
+    # spec-legal array form ["@list"] counts too.
+    from rdf_spark.sources.jsonld import parse_jsonld
+
+    doc = ('{"@context": {"@vocab": "http://v/", '
+           '"steps": {"@container": "@list"}}, '
+           '"@id": "http://ex/a", "steps": ["a", "b"]}')
+    got = parse_jsonld(doc)
+    heads = [q[2] for q in got if q[1] == ("i", "http://v/steps")]
+    assert len(heads) == 1
+    assert _walk_list(got, heads[0]) == [
+        ("l", "a", None, None), ("l", "b", None, None)]
+
+    got2 = parse_jsonld(doc.replace('"@container": "@list"',
+                                    '"@container": ["@list"]'))
+    heads2 = [q[2] for q in got2 if q[1] == ("i", "http://v/steps")]
+    assert _walk_list(got2, heads2[0]) == [
+        ("l", "a", None, None), ("l", "b", None, None)]
