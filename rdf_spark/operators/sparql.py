@@ -34,7 +34,8 @@ the DataFrame calls by hand:
   out of scope at the BIND's position evaluate to unbound/null; a
   target already used before the BIND raises per §10.1, and a BIND
   written before a pattern that binds the same variable compiles to
-  an equality constraint, never an overwrite),
+  an equality constraint, never an overwrite — and a row whose
+  expression is null imposes NO constraint, the Extend-error rule),
 - HAVING -> post-aggregate filter,
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET; both the
   projection (``(?a + ?b AS ?c)``) and ASC()/DESC() accept full value
@@ -67,15 +68,19 @@ Semantics notes (documented contracts, mirrored by the test oracles):
 - MINUS compares shared variables null-strictly: an outer row whose
   shared variable is null (OPTIONAL-sourced) is never removed — the
   spec's domain-intersection rule agrees when that is the only shared
-  variable; the partially-bound multi-variable case would need a
-  non-equi anti-join (quadratic at scale), so the subset documents
-  the deviation instead.  Fully-disjoint domains follow the spec
-  exactly (nothing removed).
+  variable; the partially-bound MULTI-variable case diverges, and is
+  no longer silent: compiling such a query (>1 shared variable, a
+  nullable outer group) emits :class:`SparqlApproximationWarning`,
+  and ``exact_null_semantics=True`` switches to the spec-exact
+  broadcast compatibility anti-join (inner side must be
+  broadcast-sized — the exact join is non-equi).  Fully-disjoint
+  domains follow the spec exactly (nothing removed).
 - [NOT] EXISTS routes rows whose shared variable is null through the
   unconstrained 1-row probe (an unbound variable stays free inside
   EXISTS, so the pattern matches iff it matches at all) — exact for
-  one shared variable; for partially-bound multi-variable rows the
-  probe ignores the still-bound variables (documented deviation).
+  one shared variable; partially-bound multi-variable rows get the
+  same warning, and the same ``exact_null_semantics=True`` escape to
+  the broadcast compatibility semi/anti-join.
 - { SELECT ... } subqueries -> the sub-select compiles to its own
   DataFrame (aggregates, DISTINCT, ORDER/LIMIT all apply inside),
   then equi-joins into the enclosing group on its projected
