@@ -789,6 +789,68 @@ def q_kg_sparql_analytics(spark, sf_dir):
         } ORDER BY DESC(?cnt * 10 - 1) ?r""")
 
 
+def q_kg_sparql_graph_path(spark, sf_dir):
+    """Round-5 feature under a hard gate: a property path INSIDE
+    GRAPH with a graph VARIABLE (operators/sparql.py ->
+    paths.eval_path_per_graph composite-node encoding). Input: one
+    next-nation chain edge per region, each region a named graph
+    (parsed N-Quads); ``ex:next+`` then closes each chain WITHIN its
+    graph — closures never cross graph boundaries. Oracle: ordered
+    same-region nation pairs."""
+    from pyspark.sql import Window
+
+    from rdf_spark.operators.parse import good_triples, parse_pages
+    from rdf_spark.operators.sparql import sparql_select
+
+    n = _read(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_regionkey").orderBy("n_nationkey")
+    edges = n.withColumn("nxt", F.lead("n_nationkey").over(w)).where(
+        F.col("nxt").isNotNull())
+    text = F.concat(
+        F.lit("<http://ex/n"), F.col("n_nationkey").cast("string"),
+        F.lit("> <http://ex/next> <http://ex/n"),
+        F.col("nxt").cast("string"),
+        F.lit("> <http://ex/g/r"), F.col("n_regionkey").cast("string"),
+        F.lit("> .\n"),
+    )
+    pages = edges.select(
+        F.concat(F.lit("http://crawl.example/chain/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("nquads").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return sparql_select(t, """
+        PREFIX ex: <http://ex/>
+        SELECT ?g ?a ?b WHERE { GRAPH ?g { ?a ex:next+ ?b } }""")
+
+
+def q_rdf_parse_jsonld_list(spark, sf_dir):
+    """Round-5 JSON-LD @list under a hard gate: each nation page
+    carries a 2-element ``{"@list": [...]}`` value; the parser
+    (sources/jsonld.py _list_chain) expands it to an rdf:first/rest
+    cell chain with doc-local bnode labels (j1, j2 — deterministic,
+    the per-document counter). Oracle reproduces the 5 chain triples
+    per nation."""
+    from rdf_spark.operators.parse import good_triples, parse_pages
+
+    n = _read(spark, sf_dir, "nation")
+    text = F.concat(
+        F.lit('{"@id": "http://ex/n'), F.col("n_nationkey").cast("string"),
+        F.lit('", "http://ex/pair": {"@list": ["'), F.col("n_name"),
+        F.lit('", "r'), F.col("n_regionkey").cast("string"),
+        F.lit('"]}}'),
+    )
+    pages = n.select(
+        F.concat(F.lit("http://crawl.example/jll/"),
+                 F.col("n_nationkey").cast("string")).alias("url"),
+        F.lit("jsonld").alias("format"),
+        text.alias("text"),
+    )
+    t = good_triples(parse_pages(pages))
+    return t.select("subj", "pred", "obj_lex")
+
+
 def q_kg_sparql_update(spark, sf_dir):
     """SPARQL UPDATE as a snapshot transform (operators/sparql.py
     sparql_update): rename ex:name -> ex:label across the parsed
@@ -1792,8 +1854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # RDF-star conformance suites — tail below)
         "kg_sparql_update": q_kg_sparql_update,
         "kg_construct_transform": q_kg_construct_transform,
-        # parsing (all six syntaxes + embedded-RDF extraction)
-        "rdf_parse_turtle": q_rdf_parse_turtle,
+        # parsing (embedded-RDF extraction; turtle demoted to tail r5)
         # new-in-round-4 RDF/XML-lite source; slot from
         # rdf_parse_rdfa (triple-green r1+r2+r3, tail below)
         "rdf_parse_rdfxml": q_rdf_parse_rdfxml,
@@ -1806,12 +1867,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_serialize_rdfxml": q_rdf_serialize_rdfxml,
         "kg_pg_nodes": q_kg_pg_nodes,
         "kg_pg_edges": q_kg_pg_edges,
+        # round-5 features promoted on landing for hard driver rows:
+        # property paths inside GRAPH (graph-variable form) and the
+        # JSON-LD @list chain; their slots come from rdf_parse_turtle
+        # (green r1+r2+r3+r4 AND the 290/290 W3C suite + byte-exact
+        # eval parity) and rdf_dedupe (green r1-r4; the canonical
+        # aggregate also gates kg_pipeline and rdf_merge_canonical) —
+        # both demoted to the tail, still locally oracled by
+        # test_entry_contract
+        "kg_sparql_graph_path": q_kg_sparql_graph_path,
+        "rdf_parse_jsonld_list": q_rdf_parse_jsonld_list,
         "web_page_metadata": q_web_page_metadata,
         # graph ops
         "rdf_bgp_match": q_rdf_bgp_match,
         "rdf_skolemize": q_rdf_skolemize,
         "rdf_serialize": q_rdf_serialize,
-        "rdf_dedupe": q_rdf_dedupe,
         "rdf_entity_link": q_rdf_entity_link,
         # training-data / curation
         # round-4 operator: cross-doc duplicated-span removal
@@ -1849,6 +1919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # doc_contamination / web_assign_split rows), and stay
         # covered by the local contract tests ---
         "emb_topk_cosine": q_emb_topk_cosine,
+        "rdf_parse_turtle": q_rdf_parse_turtle,
+        "rdf_dedupe": q_rdf_dedupe,
         "rdf_parse_rdfa": q_rdf_parse_rdfa,
         "rdf_parse_nquads": q_rdf_parse_nquads,
         "rdf_parse_jsonld": q_rdf_parse_jsonld,
@@ -2430,6 +2502,42 @@ def oracle_sql() -> dict[str, str]:
                               WHERE 'http://ex/r' || b.n_regionkey = per.r
                                 AND length(b.n_name) > 12)
             ORDER BY score DESC, r
+        """,
+        # kg_sparql_graph_path: per-region next-chains closed by
+        # ex:next+ inside GRAPH ?g == ordered same-region nation
+        # pairs, graph = the region graph IRI
+        "kg_sparql_graph_path": """
+            SELECT 'http://ex/g/r' || a.n_regionkey AS g,
+                   'http://ex/n' || a.n_nationkey AS a,
+                   'http://ex/n' || b.n_nationkey AS b
+            FROM nation a JOIN nation b
+              ON a.n_regionkey = b.n_regionkey
+             AND a.n_nationkey < b.n_nationkey
+        """,
+        # rdf_parse_jsonld_list: the 5 chain triples per nation; cell
+        # bnode labels are doc-local (j1, j2 — the per-document
+        # counter restarts per page, deterministic)
+        "rdf_parse_jsonld_list": """
+            SELECT 'http://ex/n' || n_nationkey AS subj,
+                   'http://ex/pair' AS pred, 'j1' AS obj_lex
+            FROM nation
+            UNION ALL
+            SELECT 'j1',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+                   n_name FROM nation
+            UNION ALL
+            SELECT 'j1',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                   'j2' FROM nation
+            UNION ALL
+            SELECT 'j2',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#first',
+                   'r' || n_regionkey FROM nation
+            UNION ALL
+            SELECT 'j2',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest',
+                   'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil'
+            FROM nation
         """,
         "rdf_parse_rdfxml": _NATION_TRIPLES_ORACLE,
         # property-graph export: nations carry one label + one literal
