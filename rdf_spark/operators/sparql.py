@@ -40,8 +40,11 @@ the DataFrame calls by hand:
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET; both the
   projection (``(?a + ?b AS ?c)``) and ASC()/DESC() accept full value
   expressions — arithmetic (+ - * /, double-cast, unary sign) and the
-  FILTER function set; aggregates INSIDE an expression are out of
-  subset and raise,
+  FILTER function set; a SELECT expression may also contain
+  aggregate calls (``(SUM(?x)/COUNT(?y) AS ?r)``, spec [109]) —
+  each computes with the visible aggregates under a hidden alias;
+  aggregates anywhere else (FILTER/BIND/HAVING/ORDER) raise —
+  reference the alias instead,
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
 - ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
@@ -158,11 +161,21 @@ def _unquote(tok: str) -> str:
     return "".join(out)
 
 
+_AGG_NAMES = ("COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT",
+              "SAMPLE")
+
+
 class _Parser:
     def __init__(self, text: str):
         self.toks = _tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
+        # aggregates written INSIDE a SELECT expression
+        # ((SUM(?x)/COUNT(?y) AS ?r)): registered here under hidden
+        # __iagg aliases while the expression parses, computed with
+        # the visible aggregates, projected away afterwards
+        self.inline_aggs: list[tuple] = []
+        self._allow_inline_aggs = False
 
     # -- token helpers ---------------------------------------------
     def peek(self, k: int = 0) -> tuple[str, str]:
@@ -358,6 +371,35 @@ class _Parser:
             raise SparqlSyntaxError("literal is not a boolean filter")
         return left  # BOUND(?x) etc. used directly as a boolean
 
+    def _agg_call_body(self, fn):
+        """After an aggregate keyword: ``( [DISTINCT] ?v | * [;
+        SEPARATOR="..."] )`` -> (distinct, var, sep)."""
+        self.expect_punct("(")
+        agg_distinct = self.kw("DISTINCT")
+        if self.peek() == ("PUNCT", "*"):
+            self.take()
+            var = None
+            if fn != "COUNT":
+                raise SparqlSyntaxError(f"{fn}(*) is not SPARQL")
+            if agg_distinct:
+                raise SparqlSyntaxError("COUNT(DISTINCT *) not in subset")
+        else:
+            vkind, vval = self.take()
+            if vkind != "VAR":
+                raise SparqlSyntaxError("aggregate needs a variable or *")
+            var = vval[1:]
+        sep = " "  # spec default separator
+        if fn == "GROUP_CONCAT" and self.peek() == ("PUNCT", ";"):
+            self.take()
+            self.expect_kw("SEPARATOR")
+            self.expect_punct("=")
+            skind, sval = self.take()
+            if skind != "STRING":
+                raise SparqlSyntaxError("SEPARATOR needs a string")
+            sep = _unquote(sval)
+        self.expect_punct(")")
+        return agg_distinct, var, sep
+
     def _as_double(self, v):
         """Arithmetic operand -> double Column; a non-numeric python
         literal (string/IRI in + - * /) is an in-query type error ->
@@ -443,6 +485,20 @@ class _Parser:
         if kind == "PNAME":
             self.take()
             return self._expand(val), False
+        if kind == "KW" and val.upper() in _AGG_NAMES \
+                and self.peek(1) == ("PUNCT", "("):
+            if not self._allow_inline_aggs:
+                raise SparqlSyntaxError(
+                    f"aggregate {val.upper()} is only valid inside a "
+                    "SELECT expression (reference its alias from "
+                    "HAVING/ORDER BY instead)")
+            self.take()
+            fn = val.upper()
+            agg_distinct, var, sep = self._agg_call_body(fn)
+            alias = f"__iagg{len(self.inline_aggs)}"
+            self.inline_aggs.append(
+                ("agg", fn, agg_distinct, var, alias, sep))
+            return F.col(alias), True
         if kind == "KW":
             return self._function(val.upper())
         raise SparqlSyntaxError(f"bad filter operand {val!r}")
@@ -804,56 +860,57 @@ class _Parser:
                     self.take()
                     fkind, fval = self.peek()
                     fn = fval.upper() if fkind == "KW" else None
-                    if fn not in ("COUNT", "SUM", "AVG", "MIN", "MAX",
-                                  "GROUP_CONCAT", "SAMPLE") or \
-                            self.peek(1) != ("PUNCT", "("):
+                    bare_agg = None
+                    if fn in _AGG_NAMES and \
+                            self.peek(1) == ("PUNCT", "("):
+                        # speculative parse: bare `(AGG(..) AS ?v)`
+                        # keeps the visible-aggregate item form; an
+                        # aggregate that is a SUB-expression
+                        # ((SUM(?a)/COUNT(?a) AS ?r)) rewinds and
+                        # re-parses through the expression path below
+                        mark = self.i
+                        self.take()
+                        probe = self._agg_call_body(fn)
+                        if self.peek()[0] == "KW" and \
+                                self.peek()[1].upper() == "AS":
+                            bare_agg = probe
+                        else:
+                            self.i = mark
+                    if bare_agg is None:
                         # (expr AS ?v) projection expression — same
-                        # grammar as BIND; references out of scope
-                        # evaluate to unbound (null) at compile time
+                        # grammar as BIND, plus aggregates are legal
+                        # INSIDE it here (spec [109]): each registers
+                        # as a hidden __iagg item computed with the
+                        # visible aggregates, and the expression
+                        # references its column
                         i0 = self.i
-                        expr, _ = self._operand()
+                        n0 = len(self.inline_aggs)
+                        self._allow_inline_aggs = True
+                        try:
+                            expr, _ = self._operand()
+                        finally:
+                            self._allow_inline_aggs = False
+                        new_aggs = self.inline_aggs[n0:]
                         deps = {t[1][1:] for t in self.toks[i0:self.i]
                                 if t[0] == "VAR"}
+                        # vars consumed by the aggregates are
+                        # pre-group; the expression's real inputs are
+                        # the hidden aliases (and any group keys)
+                        deps -= {a[3] for a in new_aggs if a[3]}
+                        deps |= {a[4] for a in new_aggs}
                         self.expect_kw("AS")
                         akind, aval = self.take()
                         if akind != "VAR":
                             raise SparqlSyntaxError("AS needs a variable")
                         self.expect_punct(")")
+                        select_items.extend(new_aggs)
                         select_items.append((
                             "expr",
                             expr if isinstance(expr, Column)
                             else F.lit(expr),
                             aval[1:], deps))
                         continue
-                    self.take()
-                    self.expect_punct("(")
-                    agg_distinct = self.kw("DISTINCT")
-                    if self.peek() == ("PUNCT", "*"):
-                        self.take()
-                        var = None
-                        if fn != "COUNT":
-                            raise SparqlSyntaxError(f"{fn}(*) is not SPARQL")
-                        if agg_distinct:
-                            raise SparqlSyntaxError(
-                                "COUNT(DISTINCT *) not in subset")
-                    else:
-                        vkind, vval = self.take()
-                        if vkind != "VAR":
-                            raise SparqlSyntaxError(
-                                "aggregate needs a variable or *")
-                        var = vval[1:]
-                    sep = " "  # spec default separator
-                    if fn == "GROUP_CONCAT" and \
-                            self.peek() == ("PUNCT", ";"):
-                        self.take()
-                        self.expect_kw("SEPARATOR")
-                        self.expect_punct("=")
-                        skind, sval = self.take()
-                        if skind != "STRING":
-                            raise SparqlSyntaxError(
-                                "SEPARATOR needs a string")
-                        sep = _unquote(sval)
-                    self.expect_punct(")")
+                    agg_distinct, var, sep = bare_agg
                     self.expect_kw("AS")
                     akind, aval = self.take()
                     if akind != "VAR":
@@ -932,7 +989,8 @@ def _group_vars(g: dict) -> set[str]:
     for sq in g["subqueries"]:
         items = sq[1]
         if items:
-            vs.update(_item_alias(it) for it in items)
+            vs.update(_item_alias(it) for it in items
+                      if _visible_item(it))
         else:  # SELECT * — projects every variable of its WHERE
             vs |= _group_vars(sq[2])
     return vs
@@ -943,6 +1001,12 @@ def _item_alias(it) -> str:
     ('agg', fn, distinct, var, alias, sep) | ('expr', col, alias,
     deps)."""
     return it[1] if it[0] == "var" else it[4] if it[0] == "agg" else it[2]
+
+
+def _visible_item(it) -> bool:
+    """False for the hidden __iagg items backing aggregates inside a
+    SELECT expression — computed, then projected away."""
+    return not (it[0] == "agg" and it[4].startswith("__iagg"))
 
 
 _META_SUFFIXES = ("__kind", "__datatype", "__lang")
@@ -1298,11 +1362,12 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
         if having is not None:  # references group vars / agg aliases
             out = out.where(having)
         # (expr AS ?v) over the grouped result: references are group
-        # keys / aggregate aliases (aggregates INSIDE the expression
-        # are out of subset and raise in the expression grammar)
+        # keys / aggregate aliases / hidden __iagg inline-aggregate
+        # columns (computed just above, projected away below)
         out = apply_proj_exprs(out, strict=True)
         if select_items:  # project in the written SELECT order
-            out = out.select(*[_item_alias(it) for it in select_items])
+            out = out.select(*[_item_alias(it) for it in select_items
+                               if _visible_item(it)])
     elif select_items:
         missing = [v for v in plain if v not in out.columns]
         if missing:

@@ -915,3 +915,42 @@ def test_non_numeric_arithmetic_operand_raises_sparql_error(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             sparql_select(g, PFX + bad).collect()
+
+
+def test_aggregate_inside_select_expression(g):
+    # spec grammar [109]: aggregates may appear INSIDE a projection
+    # expression; each computes with the visible aggregates under a
+    # hidden alias and the expression runs over the grouped result
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?t (SUM(?a)/COUNT(?a) AS ?avg) WHERE {
+          ?p a ?t ; ex:age ?a .
+        } GROUP BY ?t"""))
+    assert got == {(E + "Person", 24.5)}  # (9 + 40) / 2
+    # arithmetic over two inline aggregates, implicit single group
+    # (SUM/COUNT are numeric by definition; MIN/MAX stay lexical per
+    # the module's documented literal-comparison contract)
+    got = rows(sparql_select(g, PFX + """
+        SELECT (SUM(?a) - COUNT(?a) AS ?x) WHERE {
+          ?p ex:age ?a . }"""))
+    assert got == {(47.0,)}  # (9 + 40) - 2
+    # mixed with a visible aggregate + ORDER BY the expr alias;
+    # hidden __iagg columns must not leak into the output schema
+    df = sparql_select(g, PFX + """
+        SELECT ?t (COUNT(?p) AS ?cnt) (SUM(?a)*2 AS ?dbl) WHERE {
+          ?p a ?t ; ex:age ?a .
+        } GROUP BY ?t ORDER BY DESC(?dbl)""")
+    assert df.columns == ["t", "cnt", "dbl"]
+    assert rows(df) == {(E + "Person", 2, 98.0)}
+
+
+def test_aggregate_outside_select_expression_raises(g):
+    # aggregates stay illegal in FILTER/BIND/HAVING/ORDER — reference
+    # the SELECT alias instead (the pre-round-5 contract, kept)
+    for bad in [
+        'SELECT ?p WHERE { ?p ex:age ?a . FILTER (SUM(?a) > 10) }',
+        'SELECT ?p WHERE { ?p ex:age ?a . BIND (SUM(?a) AS ?s) }',
+        """SELECT (COUNT(?p) AS ?c) WHERE { ?p ex:age ?a . }
+           ORDER BY DESC(SUM(?a))""",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(g, PFX + bad).collect()
