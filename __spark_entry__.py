@@ -872,7 +872,9 @@ def q_kg_sparql_groupconcat(spark, sf_dir):
     """GROUP_CONCAT/COUNT aggregates through the SPARQL front-end:
     per-region sorted name concatenation (the operator sorts collected
     values so the result is deterministic — DuckDB replays it as
-    string_agg ORDER BY)."""
+    string_agg ORDER BY); round-5 widening: an aggregate INSIDE a
+    SELECT expression (``SUM(?len)/COUNT(?n)`` — hidden inline-alias
+    compilation, sparql.py) over a BIND-derived variable."""
     from rdf_spark.operators.sparql import sparql_select
 
     t = _parsed_nation_triples(spark, sf_dir)
@@ -880,7 +882,9 @@ def q_kg_sparql_groupconcat(spark, sf_dir):
         PREFIX ex: <http://ex/>
         SELECT ?r (GROUP_CONCAT(?name; SEPARATOR="|") AS ?names)
                (COUNT(?n) AS ?cnt)
-        WHERE { ?n ex:inRegion ?r ; ex:name ?name . }
+               (SUM(?len) / COUNT(?n) AS ?avglen)
+        WHERE { ?n ex:inRegion ?r ; ex:name ?name .
+                BIND (STRLEN(?name) AS ?len) }
         GROUP BY ?r""")
 
 
@@ -2576,7 +2580,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_sparql_groupconcat": """
             SELECT 'http://ex/r' || n_regionkey AS r,
                    string_agg(n_name, '|' ORDER BY n_name) AS names,
-                   CAST(count(*) AS BIGINT) AS cnt
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   -- DOUBLE: the SPARQL builder's arithmetic rule
+                   CAST(SUM(length(n_name)) AS DOUBLE) / count(*)
+                       AS avglen
             FROM nation GROUP BY 1
         """,
         # kg_construct_transform: the CONSTRUCT template instantiated
