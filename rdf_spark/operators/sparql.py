@@ -175,6 +175,10 @@ class _Parser:
         # __iagg aliases while the expression parses, computed with
         # the visible aggregates, projected away afterwards
         self.inline_aggs: list[tuple] = []
+        # token span of each inline aggregate call, so dependency
+        # analysis can tell in-aggregate from outside-aggregate
+        # variable occurrences
+        self._iagg_spans: list[tuple[int, int]] = []
         self._allow_inline_aggs = False
 
     # -- token helpers ---------------------------------------------
@@ -492,12 +496,14 @@ class _Parser:
                     f"aggregate {val.upper()} is only valid inside a "
                     "SELECT expression (reference its alias from "
                     "HAVING/ORDER BY instead)")
+            span0 = self.i
             self.take()
             fn = val.upper()
             agg_distinct, var, sep = self._agg_call_body(fn)
             alias = f"__iagg{len(self.inline_aggs)}"
             self.inline_aggs.append(
                 ("agg", fn, agg_distinct, var, alias, sep))
+            self._iagg_spans.append((span0, self.i))
             return F.col(alias), True
         if kind == "KW":
             return self._function(val.upper())
@@ -857,67 +863,54 @@ class _Parser:
                     self.take()
                     select_items.append(("var", val[1:]))
                 elif (kind, val) == ("PUNCT", "("):
+                    # (expr AS ?v) projection item — BIND's grammar
+                    # plus aggregate calls (spec [109]): each
+                    # aggregate registers as a hidden __iagg item
+                    # computed with the group, and the expression
+                    # references its column.  A bare `(AGG(..) AS ?v)`
+                    # is the degenerate single-aggregate case of the
+                    # same path (identical plan: the hidden column
+                    # renamed to the alias).
                     self.take()
-                    fkind, fval = self.peek()
-                    fn = fval.upper() if fkind == "KW" else None
-                    bare_agg = None
-                    if fn in _AGG_NAMES and \
-                            self.peek(1) == ("PUNCT", "("):
-                        # speculative parse: bare `(AGG(..) AS ?v)`
-                        # keeps the visible-aggregate item form; an
-                        # aggregate that is a SUB-expression
-                        # ((SUM(?a)/COUNT(?a) AS ?r)) rewinds and
-                        # re-parses through the expression path below
-                        mark = self.i
-                        self.take()
-                        probe = self._agg_call_body(fn)
-                        if self.peek()[0] == "KW" and \
-                                self.peek()[1].upper() == "AS":
-                            bare_agg = probe
-                        else:
-                            self.i = mark
-                    if bare_agg is None:
-                        # (expr AS ?v) projection expression — same
-                        # grammar as BIND, plus aggregates are legal
-                        # INSIDE it here (spec [109]): each registers
-                        # as a hidden __iagg item computed with the
-                        # visible aggregates, and the expression
-                        # references its column
-                        i0 = self.i
-                        n0 = len(self.inline_aggs)
-                        self._allow_inline_aggs = True
-                        try:
-                            expr, _ = self._operand()
-                        finally:
-                            self._allow_inline_aggs = False
-                        new_aggs = self.inline_aggs[n0:]
-                        deps = {t[1][1:] for t in self.toks[i0:self.i]
-                                if t[0] == "VAR"}
-                        # vars consumed by the aggregates are
-                        # pre-group; the expression's real inputs are
-                        # the hidden aliases (and any group keys)
-                        deps -= {a[3] for a in new_aggs if a[3]}
-                        deps |= {a[4] for a in new_aggs}
-                        self.expect_kw("AS")
-                        akind, aval = self.take()
-                        if akind != "VAR":
-                            raise SparqlSyntaxError("AS needs a variable")
-                        self.expect_punct(")")
-                        select_items.extend(new_aggs)
-                        select_items.append((
-                            "expr",
-                            expr if isinstance(expr, Column)
-                            else F.lit(expr),
-                            aval[1:], deps))
-                        continue
-                    agg_distinct, var, sep = bare_agg
+                    i0 = self.i
+                    n0 = len(self.inline_aggs)
+                    s0 = len(self._iagg_spans)
+                    self._allow_inline_aggs = True
+                    try:
+                        expr, _ = self._operand()
+                    finally:
+                        self._allow_inline_aggs = False
+                    new_aggs = self.inline_aggs[n0:]
+                    spans = self._iagg_spans[s0:]
+                    # a variable is a dependency only where it occurs
+                    # OUTSIDE every aggregate call (aggregate args are
+                    # pre-group; the expression's real inputs are the
+                    # hidden aliases + group keys) — a var used both
+                    # inside AND outside stays a dependency, so the
+                    # strict non-grouped check still raises on it as
+                    # SparqlSyntaxError, never a Spark analysis error
+                    deps = {
+                        self.toks[idx][1][1:]
+                        for idx in range(i0, self.i)
+                        if self.toks[idx][0] == "VAR"
+                        and not any(a <= idx < b for a, b in spans)
+                    }
+                    deps |= {a[4] for a in new_aggs}
                     self.expect_kw("AS")
                     akind, aval = self.take()
                     if akind != "VAR":
                         raise SparqlSyntaxError("AS needs a variable")
+                    if aval[1:].startswith("__iagg"):
+                        raise SparqlSyntaxError(
+                            "?__iagg* aliases are reserved for "
+                            "inline-aggregate compilation")
                     self.expect_punct(")")
-                    select_items.append(("agg", fn, agg_distinct, var,
-                                         aval[1:], sep))
+                    select_items.extend(new_aggs)
+                    select_items.append((
+                        "expr",
+                        expr if isinstance(expr, Column)
+                        else F.lit(expr),
+                        aval[1:], deps))
                 else:
                     break
             if not select_items:
@@ -1359,12 +1352,14 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
             raise SparqlSyntaxError(f"unbound GROUP BY variables {missing}")
         out = (out.groupBy(*group_by).agg(*exprs) if group_by
                else out.agg(*exprs))
-        if having is not None:  # references group vars / agg aliases
-            out = out.where(having)
         # (expr AS ?v) over the grouped result: references are group
         # keys / aggregate aliases / hidden __iagg inline-aggregate
-        # columns (computed just above, projected away below)
+        # columns (computed just above, projected away below).
+        # Applied BEFORE HAVING so a `(AGG() AS ?v)` alias — which
+        # compiles through this path — stays referenceable there.
         out = apply_proj_exprs(out, strict=True)
+        if having is not None:  # references group vars / agg aliases
+            out = out.where(having)
         if select_items:  # project in the written SELECT order
             out = out.select(*[_item_alias(it) for it in select_items
                                if _visible_item(it)])

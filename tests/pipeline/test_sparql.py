@@ -954,3 +954,23 @@ def test_aggregate_outside_select_expression_raises(g):
     ]:
         with pytest.raises(SparqlSyntaxError):
             sparql_select(g, PFX + bad).collect()
+
+
+def test_inline_aggregate_review_regressions(g):
+    # a var used both inside AND outside the aggregate is a
+    # non-grouped reference -> structured SparqlSyntaxError, never a
+    # raw Spark AnalysisException
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT (SUM(?a) + ?a AS ?x) WHERE { ?p ex:age ?a . }""")
+    # ... but grouped vars may mix with aggregates in one expression
+    got = rows(sparql_select(g, PFX + """
+        SELECT (STRLEN(?t) + COUNT(?p) AS ?x) WHERE {
+          ?p a ?t ; ex:age ?a . } GROUP BY ?t"""))
+    assert got == {(float(len("http://ex/Person") + 2),)}
+    # the hidden-alias namespace is reserved — a user alias there
+    # would silently vanish from the projection otherwise
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT ?t (SUM(?a) AS ?__iagg0) WHERE {
+              ?p a ?t ; ex:age ?a . } GROUP BY ?t""")
