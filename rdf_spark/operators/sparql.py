@@ -40,11 +40,12 @@ the DataFrame calls by hand:
 - SELECT [DISTINCT] / ORDER BY [ASC|DESC] / LIMIT / OFFSET; both the
   projection (``(?a + ?b AS ?c)``) and ASC()/DESC() accept full value
   expressions — arithmetic (+ - * /, double-cast, unary sign) and the
-  FILTER function set; a SELECT expression may also contain
-  aggregate calls (``(SUM(?x)/COUNT(?y) AS ?r)``, spec [109]) —
-  each computes with the visible aggregates under a hidden alias;
-  aggregates anywhere else (FILTER/BIND/HAVING/ORDER) raise —
-  reference the alias instead,
+  FILTER function set; SELECT expressions, HAVING, and ORDER BY
+  ASC()/DESC() may also contain aggregate calls
+  (``(SUM(?x)/COUNT(?y) AS ?r)``, ``HAVING(SUM(?q) > 5)``,
+  ``ORDER BY DESC(COUNT(?p))``, spec [109]) — each computes with the
+  visible aggregates under a hidden alias dropped from the output;
+  aggregates in FILTER/BIND raise,
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
 - ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
@@ -493,9 +494,9 @@ class _Parser:
                 and self.peek(1) == ("PUNCT", "("):
             if not self._allow_inline_aggs:
                 raise SparqlSyntaxError(
-                    f"aggregate {val.upper()} is only valid inside a "
-                    "SELECT expression (reference its alias from "
-                    "HAVING/ORDER BY instead)")
+                    f"aggregate {val.upper()} is only valid in SELECT "
+                    "expressions, HAVING, or ORDER BY — not FILTER/"
+                    "BIND")
             span0 = self.i
             self.take()
             fn = val.upper()
@@ -924,11 +925,31 @@ class _Parser:
                 group_by.append(self.take()[1][1:])
             if not group_by:
                 raise SparqlSyntaxError("GROUP BY needs variables")
+        star = not select_items  # SELECT *
+
+        def _drain_modifier_aggs(n0, clause):
+            """Aggregates inside a HAVING/ORDER BY expression compile
+            like SELECT-expression ones: hidden __iagg items computed
+            with the group, referenced by column, dropped after the
+            solution modifiers run."""
+            new = self.inline_aggs[n0:]
+            if new and star:
+                raise SparqlSyntaxError(
+                    f"aggregates in {clause} need an explicit "
+                    "SELECT list (not SELECT *)")
+            select_items.extend(new)
+
         having = None
         if self.kw("HAVING"):
             self.expect_punct("(")
-            having = self._or_expr()
+            n0 = len(self.inline_aggs)
+            self._allow_inline_aggs = True
+            try:
+                having = self._or_expr()
+            finally:
+                self._allow_inline_aggs = False
             self.expect_punct(")")
+            _drain_modifier_aggs(n0, "HAVING")
         order = []
         if self.kw("ORDER"):
             self.expect_kw("BY")
@@ -936,11 +957,18 @@ class _Parser:
                 kind, val = self.peek()
                 if kind == "KW" and val.upper() in ("ASC", "DESC"):
                     # ASC(expr)/DESC(expr) — full value expressions
-                    # (arithmetic, string functions), not just vars
+                    # (arithmetic, string functions, aggregates),
+                    # not just vars
                     self.take()
                     self.expect_punct("(")
-                    e, _ = self._operand()
+                    n0 = len(self.inline_aggs)
+                    self._allow_inline_aggs = True
+                    try:
+                        e, _ = self._operand()
+                    finally:
+                        self._allow_inline_aggs = False
                     self.expect_punct(")")
+                    _drain_modifier_aggs(n0, "ORDER BY")
                     order.append((
                         e if isinstance(e, Column) else F.lit(e),
                         val.upper() == "DESC"))
@@ -1360,9 +1388,10 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
         out = apply_proj_exprs(out, strict=True)
         if having is not None:  # references group vars / agg aliases
             out = out.where(having)
-        if select_items:  # project in the written SELECT order
-            out = out.select(*[_item_alias(it) for it in select_items
-                               if _visible_item(it)])
+        if select_items:  # project in the written SELECT order,
+            # hidden __iagg columns riding along until after ORDER BY
+            # (which may reference one) — dropped at the end
+            out = out.select(*[_item_alias(it) for it in select_items])
     elif select_items:
         missing = [v for v in plain if v not in out.columns]
         if missing:
@@ -1391,6 +1420,14 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
         out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
+    hidden = [it[4] for it in select_items
+              if it[0] == "agg" and not _visible_item(it)]
+    if hidden:
+        # inline-aggregate carriers: computed with the group, usable
+        # by projection exprs / HAVING / ORDER BY, never output.
+        # (Safe under DISTINCT: the aggregated frame is one row per
+        # group and hidden values are group-determined.)
+        out = out.drop(*hidden)
     return out
 
 

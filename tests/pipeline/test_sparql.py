@@ -944,16 +944,37 @@ def test_aggregate_inside_select_expression(g):
 
 
 def test_aggregate_outside_select_expression_raises(g):
-    # aggregates stay illegal in FILTER/BIND/HAVING/ORDER — reference
-    # the SELECT alias instead (the pre-round-5 contract, kept)
+    # aggregates stay illegal in FILTER and BIND (and under
+    # SELECT *) — reference a SELECT alias instead
     for bad in [
         'SELECT ?p WHERE { ?p ex:age ?a . FILTER (SUM(?a) > 10) }',
         'SELECT ?p WHERE { ?p ex:age ?a . BIND (SUM(?a) AS ?s) }',
-        """SELECT (COUNT(?p) AS ?c) WHERE { ?p ex:age ?a . }
+        """SELECT * WHERE { ?p a ?t ; ex:age ?a . }
            ORDER BY DESC(SUM(?a))""",
     ]:
         with pytest.raises(SparqlSyntaxError):
             sparql_select(g, PFX + bad).collect()
+
+
+def test_aggregates_in_having_and_order_by(g):
+    # HAVING over a direct aggregate call (no SELECT alias needed)
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?t WHERE { ?p a ?t . }
+        GROUP BY ?t HAVING (COUNT(?p) > 1)"""))
+    assert got == {(E + "Person",)}
+    # ORDER BY DESC(aggregate): sorted by per-type count, hidden
+    # carrier dropped from the output schema
+    df = sparql_select(g, PFX + """
+        SELECT ?t WHERE { ?p a ?t . }
+        GROUP BY ?t ORDER BY DESC(COUNT(?p))""")
+    assert df.columns == ["t"]
+    assert [r["t"] for r in df.collect()] == [E + "Person", E + "Animal"]
+    # both at once, sharing the group
+    df = sparql_select(g, PFX + """
+        SELECT ?t (COUNT(?p) AS ?c) WHERE { ?p a ?t ; ex:name ?n . }
+        GROUP BY ?t HAVING (COUNT(?n) + COUNT(?p) > 0)
+        ORDER BY DESC(COUNT(?p) * 2) ?t""")
+    assert df.columns == ["t", "c"]
 
 
 def test_inline_aggregate_review_regressions(g):
