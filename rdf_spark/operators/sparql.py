@@ -180,6 +180,9 @@ class _Parser:
         # analysis can tell in-aggregate from outside-aggregate
         # variable occurrences
         self._iagg_spans: list[tuple[int, int]] = []
+        # per-SELECT-body reuse pool (see select_body); aliases stay
+        # globally unique via len(inline_aggs)
+        self._iagg_pool: list[tuple] = []
         self._allow_inline_aggs = False
 
     # -- token helpers ---------------------------------------------
@@ -501,10 +504,20 @@ class _Parser:
             self.take()
             fn = val.upper()
             agg_distinct, var, sep = self._agg_call_body(fn)
-            alias = f"__iagg{len(self.inline_aggs)}"
-            self.inline_aggs.append(
-                ("agg", fn, agg_distinct, var, alias, sep))
             self._iagg_spans.append((span0, self.i))
+            for ex in self._iagg_pool:
+                # identical call repeated across this SELECT body's
+                # expressions/HAVING/ORDER BY: reuse its computed
+                # column (the pool is per SELECT body — a subquery's
+                # aggregates are never shared with the outer query's:
+                # different groups)
+                if (ex[1], ex[2], ex[3], ex[5]) == (
+                        fn, agg_distinct, var, sep):
+                    return F.col(ex[4]), True
+            alias = f"__iagg{len(self.inline_aggs)}"
+            item = ("agg", fn, agg_distinct, var, alias, sep)
+            self.inline_aggs.append(item)
+            self._iagg_pool.append(item)
             return F.col(alias), True
         if kind == "KW":
             return self._function(val.upper())
@@ -853,6 +866,14 @@ class _Parser:
         top-level query and ``{ SELECT ... }`` subqueries (the caller
         checks the terminator: EOF vs ``}``)."""
         self.expect_kw("SELECT")
+        outer_pool = self._iagg_pool
+        self._iagg_pool = []  # fresh reuse scope for this body
+        try:
+            return self._select_body_inner()
+        finally:
+            self._iagg_pool = outer_pool
+
+    def _select_body_inner(self):
         distinct = self.kw("DISTINCT")
         select_items = []  # ('var', name) | ('agg', fn, distinct, var, alias)
         if self.peek() == ("PUNCT", "*"):
@@ -927,29 +948,49 @@ class _Parser:
                 raise SparqlSyntaxError("GROUP BY needs variables")
         star = not select_items  # SELECT *
 
-        def _drain_modifier_aggs(n0, clause):
+        def _drain_modifier_aggs(i0, n0, s0, clause):
             """Aggregates inside a HAVING/ORDER BY expression compile
             like SELECT-expression ones: hidden __iagg items computed
             with the group, referenced by column, dropped after the
-            solution modifiers run."""
+            solution modifiers run.  An aggregate-bearing expression
+            may otherwise reference only group keys / SELECT aliases
+            — checked here so the error is structured, not a Spark
+            analysis failure."""
+            spans = self._iagg_spans[s0:]
+            if not spans:  # no aggregate in this expression
+                return
             new = self.inline_aggs[n0:]
-            if new and star:
+            if star:
                 raise SparqlSyntaxError(
                     f"aggregates in {clause} need an explicit "
                     "SELECT list (not SELECT *)")
             select_items.extend(new)
+            outside = {
+                self.toks[idx][1][1:]
+                for idx in range(i0, self.i)
+                if self.toks[idx][0] == "VAR"
+                and not any(a <= idx < b for a, b in spans)
+            }
+            allowed = set(group_by) | {
+                _item_alias(it) for it in select_items}
+            bad = sorted(outside - allowed)
+            if bad:
+                raise SparqlSyntaxError(
+                    f"{clause} aggregate expression references "
+                    f"non-grouped variables {bad}")
 
         having = None
         if self.kw("HAVING"):
             self.expect_punct("(")
-            n0 = len(self.inline_aggs)
+            i0, n0, s0 = self.i, len(self.inline_aggs), \
+                len(self._iagg_spans)
             self._allow_inline_aggs = True
             try:
                 having = self._or_expr()
             finally:
                 self._allow_inline_aggs = False
+            _drain_modifier_aggs(i0, n0, s0, "HAVING")
             self.expect_punct(")")
-            _drain_modifier_aggs(n0, "HAVING")
         order = []
         if self.kw("ORDER"):
             self.expect_kw("BY")
@@ -961,14 +1002,23 @@ class _Parser:
                     # not just vars
                     self.take()
                     self.expect_punct("(")
-                    n0 = len(self.inline_aggs)
+                    i0, n0, s0 = self.i, len(self.inline_aggs), \
+                        len(self._iagg_spans)
                     self._allow_inline_aggs = True
                     try:
                         e, _ = self._operand()
                     finally:
                         self._allow_inline_aggs = False
+                    _drain_modifier_aggs(i0, n0, s0, "ORDER BY")
+                    if distinct and self._iagg_spans[s0:]:
+                        # SPARQL: under DISTINCT, ORDER BY may only
+                        # use projected values — and the hidden
+                        # carrier must not survive into distinct()
+                        raise SparqlSyntaxError(
+                            "ORDER BY aggregate with SELECT DISTINCT "
+                            "is not supported — project the aggregate "
+                            "and order by its alias")
                     self.expect_punct(")")
-                    _drain_modifier_aggs(n0, "ORDER BY")
                     order.append((
                         e if isinstance(e, Column) else F.lit(e),
                         val.upper() == "DESC"))
@@ -1409,7 +1459,16 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
                 proj.extend(f"{v}{s}" for s in _META_SUFFIXES
                             if f"{v}{s}" in out.columns)
         out = out.select(*proj)
+    hidden = [it[4] for it in select_items
+              if it[0] == "agg" and not _visible_item(it)]
     if distinct:
+        if hidden:
+            # hidden inline-aggregate carriers must not take part in
+            # row dedup (two groups agreeing on every VISIBLE column
+            # are one distinct row); ORDER BY cannot reference them
+            # under DISTINCT (parse-time error), so drop them first
+            out = out.drop(*hidden)
+            hidden = []
         out = out.distinct()
     if order:
         out = out.orderBy(*[
@@ -1420,13 +1479,9 @@ def _apply_select(out: DataFrame, parsed: tuple) -> DataFrame:
         out = out.offset(offset)
     if limit is not None:
         out = out.limit(limit)
-    hidden = [it[4] for it in select_items
-              if it[0] == "agg" and not _visible_item(it)]
     if hidden:
         # inline-aggregate carriers: computed with the group, usable
-        # by projection exprs / HAVING / ORDER BY, never output.
-        # (Safe under DISTINCT: the aggregated frame is one row per
-        # group and hidden values are group-determined.)
+        # by projection exprs / HAVING / ORDER BY, never output
         out = out.drop(*hidden)
     return out
 

@@ -995,3 +995,54 @@ def test_inline_aggregate_review_regressions(g):
         sparql_select(g, PFX + """
             SELECT ?t (SUM(?a) AS ?__iagg0) WHERE {
               ?p a ?t ; ex:age ?a . } GROUP BY ?t""")
+
+
+def test_inline_aggregate_distinct_and_validation_regressions(g):
+    # DISTINCT must dedupe over VISIBLE columns only — a hidden
+    # aggregate carrier differing between groups must not keep two
+    # visually-identical rows alive
+    df = sparql_select(g, PFX + """
+        SELECT DISTINCT ?t WHERE { ?p a ?t ; ex:age ?a . }
+        GROUP BY ?t ?a HAVING (COUNT(?p) >= 1)""")
+    assert df.columns == ["t"]
+    assert [r["t"] for r in df.collect()] == [E + "Person"]
+    # a non-grouped variable mixed into a HAVING/ORDER BY aggregate
+    # expression is a structured error, not a Spark analysis failure
+    for bad in [
+        """SELECT ?t WHERE { ?p a ?t ; ex:age ?a . }
+           GROUP BY ?t HAVING (SUM(?a) > ?a)""",
+        """SELECT ?t WHERE { ?p a ?t ; ex:age ?a . }
+           GROUP BY ?t ORDER BY DESC(SUM(?a) + ?a)""",
+    ]:
+        with pytest.raises(SparqlSyntaxError):
+            sparql_select(g, PFX + bad).collect()
+    # ORDER BY aggregate under DISTINCT: structured refusal (spec:
+    # DISTINCT ordering may only use projected values)
+    with pytest.raises(SparqlSyntaxError):
+        sparql_select(g, PFX + """
+            SELECT DISTINCT ?t WHERE { ?p a ?t . }
+            GROUP BY ?t ORDER BY DESC(COUNT(?p))""")
+
+
+def test_inline_aggregate_reuse_shares_column(g):
+    # the same aggregate in SELECT, HAVING and ORDER BY computes once
+    df = sparql_select(g, PFX + """
+        SELECT ?t (COUNT(?p) AS ?c) WHERE { ?p a ?t . }
+        GROUP BY ?t HAVING (COUNT(?p) >= 1)
+        ORDER BY DESC(COUNT(?p)) ?t""")
+    assert df.columns == ["t", "c"]
+    assert [(r["t"], r["c"]) for r in df.collect()] == [
+        (E + "Person", 3), (E + "Animal", 1)]
+    # exactly ONE count in the aggregate (reuse, not three copies)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    agg_line = [ln for ln in plan.split("\n") if "Aggregate" in ln][0]
+    assert agg_line.count("count(") == 1, agg_line
+    # a subquery's identical aggregate is NOT shared with the outer
+    # query (different groups) — both still evaluate correctly
+    got = rows(sparql_select(g, PFX + """
+        SELECT ?t (COUNT(?p) AS ?outer) WHERE {
+          ?p a ?t .
+          { SELECT ?p (COUNT(?q) AS ?inner) WHERE { ?p ex:knows ?q . }
+            GROUP BY ?p }
+        } GROUP BY ?t ORDER BY DESC(COUNT(?p))"""))
+    assert got == {(E + "Person", 2)}  # alice+bob have knows edges
