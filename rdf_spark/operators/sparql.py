@@ -44,8 +44,11 @@ the DataFrame calls by hand:
   ASC()/DESC() may also contain aggregate calls
   (``(SUM(?x)/COUNT(?y) AS ?r)``, ``HAVING(SUM(?q) > 5)``,
   ``ORDER BY DESC(COUNT(?p))``, spec [109]) — each computes with the
-  visible aggregates under a hidden alias dropped from the output;
-  aggregates in FILTER/BIND raise,
+  visible aggregates under a hidden alias dropped from the output
+  (identical calls compute once per SELECT body; ORDER BY aggregates
+  combine with DISTINCT only via a projected alias, per the spec's
+  projected-values-only ordering rule); aggregates in FILTER/BIND
+  raise,
 - CONSTRUCT { template } -> a new triple table via one array-explode
   pass over the bindings (:func:`sparql_construct`),
 - ASK -> first-match probe (:func:`sparql_ask`), DESCRIBE -> simple
