@@ -382,6 +382,18 @@ class _Parser:
             raise SparqlSyntaxError("literal is not a boolean filter")
         return left  # BOUND(?x) etc. used directly as a boolean
 
+    def _vars_outside_spans(self, i0, i1, spans):
+        """Variable names whose token occurrence in [i0, i1) falls
+        outside every (a, b) aggregate-call span — the shared
+        dependency scan for SELECT expressions and HAVING/ORDER BY
+        aggregate validation."""
+        return {
+            self.toks[idx][1][1:]
+            for idx in range(i0, i1)
+            if self.toks[idx][0] == "VAR"
+            and not any(a <= idx < b for a, b in spans)
+        }
+
     def _agg_call_body(self, fn):
         """After an aggregate keyword: ``( [DISTINCT] ?v | * [;
         SEPARATOR="..."] )`` -> (distinct, var, sep)."""
@@ -914,12 +926,7 @@ class _Parser:
                     # inside AND outside stays a dependency, so the
                     # strict non-grouped check still raises on it as
                     # SparqlSyntaxError, never a Spark analysis error
-                    deps = {
-                        self.toks[idx][1][1:]
-                        for idx in range(i0, self.i)
-                        if self.toks[idx][0] == "VAR"
-                        and not any(a <= idx < b for a, b in spans)
-                    }
+                    deps = self._vars_outside_spans(i0, self.i, spans)
                     deps |= {a[4] for a in new_aggs}
                     self.expect_kw("AS")
                     akind, aval = self.take()
@@ -968,12 +975,7 @@ class _Parser:
                     f"aggregates in {clause} need an explicit "
                     "SELECT list (not SELECT *)")
             select_items.extend(new)
-            outside = {
-                self.toks[idx][1][1:]
-                for idx in range(i0, self.i)
-                if self.toks[idx][0] == "VAR"
-                and not any(a <= idx < b for a, b in spans)
-            }
+            outside = self._vars_outside_spans(i0, self.i, spans)
             allowed = set(group_by) | {
                 _item_alias(it) for it in select_items}
             bad = sorted(outside - allowed)
